@@ -1,0 +1,93 @@
+"""Rabin-64 kernel tests.
+
+The table-driven kernel is checked against an independent bit-at-a-time
+GF(2) polynomial-division implementation of the same public construction
+(Sean Owen's rabinhash; reference semantics trrabinhash.pas:207-250):
+for messages of >= 8 bytes the hash is the residue of the message bit
+polynomial modulo the degree-64 polynomial; shorter messages are the raw
+big-endian value of the starter bytes (never reduced).
+"""
+
+import numpy as np
+import pytest
+
+from texrex_spark.functions.poly64 import POLYS64
+from texrex_spark.functions.rabin import HashProvider, Rabin64, get_provider
+
+MASK = (1 << 64) - 1
+
+
+def slow_rabin(data: bytes, poly: int) -> int:
+    """Bitwise long division in GF(2); independent of the table kernel."""
+    w = 0
+    starter = len(data) % 8
+    for b in data[:starter]:
+        w = ((w << 8) & MASK) ^ b
+    for block_start in range(starter, len(data), 8):
+        # shift W left by 64 bits modulo (x^64 + poly), one bit at a time
+        for _ in range(64):
+            high = w >> 63
+            w = (w << 1) & MASK
+            if high:
+                w ^= poly
+        w ^= int.from_bytes(data[block_start : block_start + 8], "big")
+    return w
+
+
+@pytest.mark.parametrize("poly_idx", [0, 1, 2, 3, 4, 99])
+def test_matches_bitwise_division(poly_idx):
+    r = Rabin64(POLYS64[poly_idx])
+    cases = [
+        b"a",
+        b"abcdefg",
+        b"abcdefgh",
+        b"abcdefghi",
+        b"http://example.com/path?q=1",
+        bytes(range(256))[:40],
+        "päge-ünïcode".encode("utf-8"),
+        b"x" * 64,
+    ]
+    for data in cases:
+        assert r.hash(data) == slow_rabin(data, POLYS64[poly_idx]), data
+
+
+def test_short_strings_are_raw_value():
+    # < 8 bytes -> starter loop only, no reduction (trrabinhash.pas:222-232)
+    r = Rabin64(POLYS64[0])
+    assert r.hash(b"A") == ord("A")
+    assert r.hash(b"AB") == (ord("A") << 8) | ord("B")
+
+
+def test_batch_matches_scalar():
+    p = HashProvider(10)
+    keys = [b"alpha", b"beta", b"gamma-longer-key", b"", b"12345678", b"123456789"]
+    batch = p.hash_batch(keys)
+    assert batch.shape == (6, 10)
+    for i, k in enumerate(keys):
+        if not k:
+            assert (batch[i] == 0).all()
+            continue
+        for j in range(10):
+            assert int(batch[i, j]) == p.hash(k, j)
+
+
+def test_provider_deterministic_across_instances():
+    a = HashProvider(5).hash_all(b"determinism")
+    b = HashProvider(5).hash_all(b"determinism")
+    assert (a == b).all()
+    assert get_provider(5) is get_provider(5)
+
+
+def test_distinct_polynomials_give_distinct_hashes():
+    p = HashProvider(100)
+    h = p.hash_all(b"the quick brown fox jumps over the lazy dog")
+    assert len(set(h.tolist())) == 100
+
+
+def test_equal_length_matrix_path():
+    r = Rabin64(POLYS64[7])
+    keys = [b"aaaaaaaaaaaa", b"bbbbbbbbbbbb", b"cccccccccccc"]
+    mat = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(3, 12)
+    out = r.hash_matrix(mat)
+    for i, k in enumerate(keys):
+        assert int(out[i]) == r.hash(k)

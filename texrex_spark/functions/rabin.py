@@ -1,0 +1,141 @@
+"""Deterministic table-driven Rabin-64 fingerprinting, numpy-vectorized.
+
+Semantics match the reference's TTrRabin64 / TTrHashProvider
+(/root/reference/src/units/trrabinhash.pas:111-250, 274-336), which in turn
+follows Sean Owen's public-domain Java rabinhash implementation
+(http://sourceforge.net/projects/rabinhash/):
+
+- 64 left-shift residues of the polynomial (LMods), split into eight
+  256-entry XOR tables (one per byte lane of the 64-bit state).
+- hash(s): feed ``len(s) mod 8`` leading bytes one at a time into the state
+  (``W = (W << 8) ^ b``), then consume the rest in 8-byte big-endian blocks
+  (``W = shift(W) ^ block``).
+- The deterministic provider is "the first n polynomials" of the fixed
+  1000-entry table (trrabinhash.pas:294-306); see poly64.py.
+
+The whole kernel is uint64 numpy; batches of equal-length keys hash in a
+single vectorized pass per byte position, so pandas-UDF callers stay
+Arrow-batched with no per-row Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .poly64 import POLYS64
+
+_U64 = np.uint64
+_HIGH_BIT = _U64(1) << _U64(63)
+
+
+def _build_tables(poly: int) -> np.ndarray:
+    """8x256 uint64 XOR tables for one polynomial (trrabinhash.pas:138-190)."""
+    poly = _U64(poly)
+    mods = np.zeros(64, dtype=np.uint64)
+    mods[0] = poly
+    for i in range(1, 64):
+        last = mods[i - 1]
+        this = last << _U64(1)
+        if last & _HIGH_BIT:
+            this ^= poly
+        mods[i] = this
+    tables = np.zeros((8, 256), dtype=np.uint64)
+    for i in range(256):
+        ctrl, j = i, 0
+        while j < 8 and ctrl > 0:
+            if ctrl & 1:
+                for t in range(8):
+                    tables[t, i] ^= mods[j + 8 * t]
+            ctrl >>= 1
+            j += 1
+    return tables
+
+
+class Rabin64:
+    """One Rabin hash function over byte strings (single polynomial)."""
+
+    def __init__(self, poly: int):
+        self.poly = poly
+        self.tables = _build_tables(poly)
+
+    def hash(self, data: bytes) -> int:
+        return int(self.hash_matrix(np.frombuffer(data, dtype=np.uint8)[None, :])[0])
+
+    def hash_matrix(self, mat: np.ndarray) -> np.ndarray:
+        """Hash a (n, L) uint8 matrix of n equal-length keys -> (n,) uint64."""
+        return _hash_matrix_multi(mat, self.tables[None, :, :])[0]
+
+
+def _hash_matrix_multi(mat: np.ndarray, tables: np.ndarray) -> np.ndarray:
+    """Hash a (n, L) uint8 matrix under P polynomials at once.
+
+    tables: (P, 8, 256) uint64.  Returns (P, n) uint64.
+    Mirrors trrabinhash.pas:207-250: starter bytes first, then 8-byte blocks.
+    """
+    n, length = mat.shape
+    p = tables.shape[0]
+    w = np.zeros((p, n), dtype=np.uint64)
+    starter = length % 8
+    cols = mat.T.astype(np.uint64)  # (L, n)
+    for s in range(starter):
+        w = (w << _U64(8)) ^ cols[s][None, :]
+    pidx = np.arange(p)[:, None]
+    mask = _U64(0xFF)
+    for block in range(starter, length, 8):
+        # ComputeShifted: eight table gathers on the byte lanes of W.
+        shifted = np.zeros_like(w)
+        for t in range(8):
+            lane = (w >> _U64(8 * t)) & mask
+            shifted ^= tables[pidx, t, lane]
+        blk = np.zeros((1, n), dtype=np.uint64)
+        for b in range(8):
+            blk = (blk << _U64(8)) ^ cols[block + b][None, :]
+        w = shifted ^ blk
+    return w
+
+
+class HashProvider:
+    """n deterministic Rabin functions = first n POLYS64 (trrabinhash.pas:294-306)."""
+
+    def __init__(self, n: int):
+        if n > len(POLYS64):
+            raise ValueError(f"at most {len(POLYS64)} deterministic hash functions")
+        self.n = n
+        self.tables = np.stack([_build_tables(POLYS64[i]) for i in range(n)])
+
+    def hash(self, data: bytes, index: int) -> int:
+        mat = np.frombuffer(data, dtype=np.uint8)[None, :]
+        return int(_hash_matrix_multi(mat, self.tables[index : index + 1])[0, 0])
+
+    def hash_all(self, data: bytes) -> np.ndarray:
+        """All n hashes of one key -> (n,) uint64."""
+        mat = np.frombuffer(data, dtype=np.uint8)[None, :]
+        return _hash_matrix_multi(mat, self.tables)[:, 0]
+
+    def hash_batch(self, keys: list[bytes]) -> np.ndarray:
+        """All n hashes of many keys -> (len(keys), n) uint64.
+
+        Groups keys by length so each group is one fully vectorized pass.
+        """
+        out = np.zeros((len(keys), self.n), dtype=np.uint64)
+        by_len: dict[int, list[int]] = {}
+        for i, k in enumerate(keys):
+            by_len.setdefault(len(k), []).append(i)
+        for length, idxs in by_len.items():
+            if length == 0:
+                continue  # empty key hashes to 0 under this scheme
+            mat = np.frombuffer(b"".join(keys[i] for i in idxs), dtype=np.uint8)
+            mat = mat.reshape(len(idxs), length)
+            hashes = _hash_matrix_multi(mat, self.tables)  # (P, n_group)
+            out[np.asarray(idxs), :] = hashes.T
+        return out
+
+
+_PROVIDER_CACHE: dict[int, HashProvider] = {}
+
+
+def get_provider(n: int) -> HashProvider:
+    """Process-wide provider cache (table construction is the expensive part)."""
+    if n not in _PROVIDER_CACHE:
+        _PROVIDER_CACHE[n] = HashProvider(n)
+    return _PROVIDER_CACHE[n]

@@ -1,0 +1,198 @@
+"""URL canonicalization, host/TLD extraction, link-relation classification.
+
+Reference behaviors mirrored:
+
+- host extraction via URI parse (trutilities.pas:393-399)
+- TLD = substring after the last '.' of the host (trutilities.pas:402-405)
+- link relation classification: same-full-host (case-folded host equality),
+  same-non-virtual-host (last two host segments equal), different-hosts,
+  malformed; relative URLs resolved against the source first
+  (trutilities.pas:420-471)
+- doc id = md5 of the URL (trdata.pas:1285-1293; the reference appends 4
+  random hex chars — we use a deterministic variant so ids are reproducible)
+
+Canonical form (the crawl protocol's single normalization, applied before
+every seen-set probe and fetch join): lowercase scheme and host, drop the
+fragment, drop a default port (:80 http / :443 https), empty path -> "/".
+
+The same normalization exists twice on purpose: ``canonicalize`` (plain
+Python, used by the oracle and inside pandas UDFs) and ``canonicalize_col``
+(pure Catalyst expressions, used by the frontier scheduler so normalization
+of 10^10 URLs never leaves the JVM).  test_urlnorm.py asserts they agree.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urljoin, urlsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SAME_FULL_HOST = "trlSameFullHost"
+SAME_NON_VIRTUAL_HOST = "trlSameNonVirtualHost"
+DIFFERENT_HOSTS = "trlDifferentHosts"
+MALFORMED = "trlMalformedUri"
+
+
+def canonicalize(url: str) -> str:
+    """Canonical URL form; returns '' for unusable URLs."""
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return ""
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return ""
+    host = (parts.hostname or "").lower()
+    if not host:
+        return ""
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        return ""
+    netloc = host
+    if port is not None and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if parts.query:
+        out += f"?{parts.query}"
+    return out
+
+
+def canonicalize_col(url: Column) -> Column:
+    """Catalyst-only equivalent of ``canonicalize`` (JVM-side, codegen-able)."""
+    trimmed = F.trim(url)
+    scheme = F.lower(F.regexp_extract(trimmed, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    # authority = up to first /, ?, or #
+    rest = F.regexp_extract(trimmed, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)(.*)$", 1)
+    tail = F.regexp_extract(trimmed, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)(.*)$", 2)
+    # strip userinfo, lowercase host, keep explicit non-default port
+    hostport = F.lower(F.regexp_extract(rest, r"(?:[^@]*@)?(.*)", 1))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    netloc = F.when((port == "") | (port == default_port), host).otherwise(
+        F.concat(host, F.lit(":"), port)
+    )
+    # drop fragment, default empty path to /
+    path_q = F.regexp_replace(tail, r"#.*$", "")
+    path_q = F.when(
+        (path_q == "") | path_q.startswith("?"), F.concat(F.lit("/"), path_q)
+    ).otherwise(path_q)
+    ok = scheme.isin("http", "https") & (host != "")
+    return F.when(ok, F.concat(scheme, F.lit("://"), netloc, path_q)).otherwise(
+        F.lit("")
+    )
+
+
+def extract_host(url: str) -> str:
+    """trutilities.pas:393-399 (host of the parsed URI, lowercased)."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def extract_host_col(url: Column) -> Column:
+    return F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]*)", 1)
+    )
+
+
+def extract_path(url: str) -> str:
+    """Path component for robots prefix matching; '' -> '/' (trpoliteness.pas:335-337)."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return "/"
+    return parts.path or "/"
+
+
+def extract_path_col(url: Column) -> Column:
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def extract_tld(host: str) -> str:
+    """trutilities.pas:402-405 (text after the last dot; whole host if no dot)."""
+    pos = host.rfind(".")
+    return host[pos + 1 :]
+
+
+def extract_tld_col(host: Column) -> Column:
+    return F.element_at(F.split(host, r"\."), -1)
+
+
+def doc_id(url: str) -> str:
+    """Deterministic doc id: md5 of the canonical URL (cf. trdata.pas:1285-1293)."""
+    return hashlib.md5(canonicalize(url).encode("utf-8")).hexdigest()
+
+
+def doc_id_col(url_canon: Column) -> Column:
+    return F.md5(url_canon)
+
+
+def resolve_link(base_url: str, link: str) -> str:
+    """Relative-URL resolution (trutilities.pas:430-438)."""
+    try:
+        return urljoin(base_url, link)
+    except ValueError:
+        return ""
+
+
+def link_relation(src_url: str, link: str) -> tuple[str, str]:
+    """Classify a link vs its source page (trutilities.pas:420-471).
+
+    Returns (resolved_absolute_link, relation) where relation is one of the
+    trl* constants.  The host comparison is case-folded for the full-host
+    case; the non-virtual-host case compares the last two dot-segments.
+    """
+    try:
+        link_has_scheme = bool(urlsplit(link).scheme)
+    except ValueError:
+        return link, MALFORMED
+    if link_has_scheme:
+        # Absolute per the reference's IsAbsoluteUri check — never resolved
+        # against the base (urljoin would wrongly inherit base parts for
+        # degenerate inputs like "http://").
+        resolved = link
+    else:
+        resolved = resolve_link(src_url, link)
+    if not resolved:
+        return link, MALFORMED
+    try:
+        h1 = (urlsplit(src_url).hostname or "").lower()
+        h2 = (urlsplit(resolved).hostname or "").lower()
+    except ValueError:
+        return resolved, MALFORMED
+    if not h1 or not h2:
+        return resolved, MALFORMED
+    if h1 == h2:
+        return resolved, SAME_FULL_HOST
+    seg1, seg2 = h1.split("."), h2.split(".")
+    if len(seg1) >= 2 and len(seg2) >= 2 and seg1[-2:] == seg2[-2:]:
+        return resolved, SAME_NON_VIRTUAL_HOST
+    return resolved, DIFFERENT_HOSTS
+
+
+def link_relation_col(src_host: Column, dst_host: Column) -> Column:
+    """Catalyst variant for already-absolute URLs (hosts pre-extracted)."""
+    s1 = F.split(src_host, r"\.")
+    s2 = F.split(dst_host, r"\.")
+    same_nonvirtual = (
+        (F.size(s1) >= 2)
+        & (F.size(s2) >= 2)
+        & (F.element_at(s1, -1) == F.element_at(s2, -1))
+        & (F.element_at(s1, -2) == F.element_at(s2, -2))
+    )
+    return (
+        F.when((src_host == "") | (dst_host == ""), F.lit(MALFORMED))
+        .when(src_host == dst_host, F.lit(SAME_FULL_HOST))
+        .when(same_nonvirtual, F.lit(SAME_NON_VIRTUAL_HOST))
+        .otherwise(F.lit(DIFFERENT_HOSTS))
+    )
