@@ -1,0 +1,295 @@
+"""The URL-frontier fetch scheduler — the north-rule core at 10^10 scale.
+
+Where operators/walker.py reproduces the reference's *ordering* with K
+sequential walkers, this scheduler is the throughput path: a batch
+superstep loop in which the frontier is a DataFrame priority queue and
+every stage is a distributed operator:
+
+    frontier ──canonicalize (Catalyst)──▶ candidates
+      ──probe partitioned bloom (mapInPandas, read-only)──▶ unseen
+      ──robots gate (broadcast join + exists())──▶ allowed
+      ──politeness admit (salted two-stage window rank)──▶ admitted
+      ──"fetch": equi-join docs table──▶ fetched docs
+      ──link harvest (explode + scope filters, Catalyst)──▶ candidates'
+      ──bloom check-and-add on fetched──▶ seen-set grows
+      frontier' = deferred ∪ new links  (top-k by priority = TakeOrdered)
+
+Scale design decisions, each explicit:
+
+- **dedup before politeness** so seen URLs never consume host budget;
+  bloom *add* happens only after fetch (matching Finalize semantics,
+  trwalkers.pas:826-845) so politeness-deferred URLs survive rounds.
+- **skew**: politeness ranking salts hot hosts (operators/politeness.py);
+  AQE handles residual join skew.
+- **priority queue** = (depth, discovery priority); the frontier cap is a
+  distributed top-k (sort+limit compiles to TakeOrderedAndProject, no full
+  sort materialization).
+- **resume**: frontier/host-state parquet snapshots + the seen-set's bucket
+  bitmaps and manifest; per-round metrics carry per-partition lineage.
+- the docs join broadcasts nothing (both sides big); it is a plain
+  shuffled hash join on url_norm, co-partitioned with the bloom bucketing
+  when the docs table is bucketed by the same hash.
+
+At bench scale the heavy stages are all JVM-side except the bloom probe
+(Arrow-batched numpy).  Throughput metric: URLs scheduled+deduped per
+second (BASELINE.json `metric`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import urlnorm
+from .politeness import admit, advance_host_state
+from .robots import gate_frontier
+from .seenset import PartitionedSeenSet
+
+
+@dataclass
+class FrontierConfig:
+    seen_partitions: int = 32
+    bloom_error_rate: float = 1e-6
+    min_politeness: int = 2
+    round_seconds: int = 60
+    frontier_cap: int = 1_000_000
+    max_depth: int = 6
+    min_link_len: int = 16
+    max_link_len: int = 1024
+    use_external_links: bool = True
+    use_same_host_links: bool = True
+    use_same_virtual_host_links: bool = True
+
+
+@dataclass
+class FrontierScheduler:
+    spark: SparkSession
+    config: FrontierConfig
+    work_dir: str
+    metrics: list[dict] = field(default_factory=list)
+
+    def __post_init__(self):
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.seen = PartitionedSeenSet(
+            os.path.join(self.work_dir, "seen"),
+            partitions=self.config.seen_partitions,
+            error_rate=self.config.bloom_error_rate,
+        )
+
+    # -- stage builders ---------------------------------------------------
+
+    def candidates_from(self, urls: DataFrame, depth_col=None) -> DataFrame:
+        """Canonicalize raw URLs into frontier rows (pure Catalyst)."""
+        depth = depth_col if depth_col is not None else F.lit(0)
+        return (
+            urls.select(
+                urlnorm.canonicalize_col(F.col("url")).alias("url_norm"),
+                F.col("priority").cast("long").alias("priority"),
+                depth.cast("int").alias("depth"),
+            )
+            .where(F.col("url_norm") != "")
+            .groupBy("url_norm")
+            .agg(
+                F.min("priority").alias("priority"),
+                F.min("depth").alias("depth"),
+            )
+            .select(
+                "url_norm",
+                urlnorm.extract_host_col(F.col("url_norm")).alias("host"),
+                urlnorm.extract_path_col(F.col("url_norm")).alias("path"),
+                "priority",
+                "depth",
+            )
+        )
+
+    def prepare_docs(self, docs: DataFrame) -> DataFrame:
+        """Fetch table keyed by canonical URL, with harvested links."""
+        return docs.select(
+            urlnorm.canonicalize_col(F.col("url")).alias("url_norm"),
+            F.col("doc_id"),
+            F.col("host").alias("doc_host"),
+            F.col("links"),
+        ).where(F.col("url_norm") != "")
+
+    def harvest_links(self, fetched: DataFrame, next_priority_base) -> DataFrame:
+        """Explode fetched docs' links, apply the reference's scope filters
+        (trwalkers.pas:802-817, link length trhtmlstripper.pas:150-153),
+        and emit new candidate URLs.  All Catalyst."""
+        cfg = self.config
+        allowed_relations = [
+            rel
+            for rel, on in [
+                (urlnorm.DIFFERENT_HOSTS, cfg.use_external_links),
+                (urlnorm.SAME_FULL_HOST, cfg.use_same_virtual_host_links),
+                (urlnorm.SAME_NON_VIRTUAL_HOST, cfg.use_same_host_links),
+            ]
+            if on
+        ]
+        links = fetched.select(
+            F.col("depth"),
+            F.col("priority").alias("parent_priority"),
+            F.explode("links").alias("l"),
+        )
+        return (
+            links.where(F.col("l.relation").isin(allowed_relations))
+            .where(F.length("l.url").between(cfg.min_link_len, cfg.max_link_len))
+            .select(
+                F.col("l.url").alias("url"),
+                (
+                    F.lit(next_priority_base)
+                    + F.abs(F.xxhash64("l.url")) % F.lit(1_000_000_000)
+                ).alias("priority"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .where(F.col("depth") <= cfg.max_depth)
+        )
+
+    # -- the superstep loop ------------------------------------------------
+
+    def run(
+        self,
+        seeds: DataFrame,  # (url string, priority long)
+        docs: DataFrame,
+        robots: DataFrame,
+        rounds: int = 5,
+        collect_fetched: bool = True,
+    ) -> dict[str, DataFrame]:
+        cfg = self.config
+        fetch_table = self.prepare_docs(docs).persist()
+        fetch_table.count()
+
+        # localCheckpoint (not persist) everywhere the loop feeds a DataFrame
+        # back into itself: it truncates lineage, otherwise the plan tree
+        # doubles per round and the planner itself OOMs.  On a cluster with
+        # reliable checkpointing requirements this becomes a parquet/Iceberg
+        # snapshot write per round (same shape as _snapshot()).
+        frontier = self.candidates_from(seeds).localCheckpoint(eager=True)
+        host_state = self.spark.createDataFrame(
+            [], "host string, last_access long, crawl_delay int"
+        )
+        robots_delays = robots.select(
+            "host", F.col("crawl_delay").alias("robots_delay")
+        )
+        fetched_parts: list[DataFrame] = []
+        now = 0
+
+        for rnd in range(rounds):
+            t0 = time.time()
+
+            unseen = self.seen.probe(frontier).where(~F.col("seen")).drop(
+                "seen", "bloom_scalings", "bloom_bucket"
+            )
+            gated = gate_frontier(unseen, robots)
+
+            # host state enriched with robots crawl-delay for the formula
+            hs = (
+                host_state.join(robots_delays, "host", "full")
+                .select(
+                    "host",
+                    F.coalesce("last_access", F.lit(-1)).alias("last_access"),
+                    F.coalesce("robots_delay", F.lit(-1)).alias("crawl_delay"),
+                )
+            )
+            admitted = admit(
+                gated,
+                hs,
+                min_politeness=cfg.min_politeness,
+                round_seconds=cfg.round_seconds,
+                now=now,
+            ).localCheckpoint(eager=True)
+
+            fetched = admitted.join(fetch_table, "url_norm", "inner").localCheckpoint(
+                eager=True
+            )
+
+            # authoritative seen-set update: only fetched URLs are "written
+            # out" (Finalize semantics); returns lineage columns.  The add
+            # mutates bucket bitmaps, so it must be evaluated exactly once —
+            # localCheckpoint materializes it before any downstream action
+            # can re-trigger the mapInPandas.
+            marked = self.seen.check_and_add(
+                fetched.select("url_norm", "priority", "depth", "doc_id", "links")
+            ).localCheckpoint(eager=True)
+            new_docs = marked.where(~F.col("seen"))
+
+            links = self.harvest_links(
+                new_docs, next_priority_base=(rnd + 1) * 10_000_000_000
+            )
+            deferred = gated.join(
+                admitted.select("url_norm"), "url_norm", "left_anti"
+            ).select("url_norm", "host", "path", "priority", "depth")
+
+            next_frontier = (
+                self.candidates_from(links, depth_col=F.col("depth"))
+                .unionByName(deferred)
+                .groupBy("url_norm")
+                .agg(
+                    F.min("priority").alias("priority"),
+                    F.min("depth").alias("depth"),
+                    F.first("host").alias("host"),
+                    F.first("path").alias("path"),
+                )
+                .select("url_norm", "host", "path", "priority", "depth")
+                .orderBy("priority")
+                .limit(cfg.frontier_cap)
+            ).localCheckpoint(eager=True)
+
+            n_frontier = frontier.count()
+            n_admitted = admitted.count()
+            n_fetched = fetched.count()
+            n_next = next_frontier.count()
+            elapsed = time.time() - t0
+            self.metrics.append(
+                {
+                    "round": rnd,
+                    "frontier": n_frontier,
+                    "admitted": n_admitted,
+                    "fetched": n_fetched,
+                    "next_frontier": n_next,
+                    "elapsed_sec": round(elapsed, 3),
+                    "urls_per_sec": round(n_frontier / elapsed, 1) if elapsed else 0.0,
+                }
+            )
+
+            if collect_fetched:
+                fetched_parts.append(
+                    new_docs.select(
+                        F.lit(rnd).alias("round"),
+                        "url_norm",
+                        "doc_id",
+                        "depth",
+                        "bloom_bucket",
+                        "bloom_scalings",
+                    ).localCheckpoint(eager=True)
+                )
+
+            host_state = advance_host_state(
+                hs.select("host", "last_access", "crawl_delay"), admitted
+            ).localCheckpoint(eager=True)
+
+            frontier = next_frontier
+            now += cfg.round_seconds
+
+            self.seen.commit_round(rnd, {"metrics": self.metrics})
+            if n_frontier == 0:
+                break
+
+        out: dict[str, DataFrame] = {"frontier": frontier, "host_state": host_state}
+        if fetched_parts:
+            all_fetched = fetched_parts[0]
+            for p in fetched_parts[1:]:
+                all_fetched = all_fetched.unionByName(p)
+            out["fetched"] = all_fetched
+        fetch_table.unpersist()
+        return out
+
+    def write_metrics(self) -> str:
+        path = os.path.join(self.work_dir, "metrics.json")
+        with open(path, "w") as f:
+            json.dump(self.metrics, f, indent=1)
+        return path

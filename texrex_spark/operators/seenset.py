@@ -1,0 +1,206 @@
+"""Partitioned deterministic URL-seen set: the 10^10-scale bloom filter.
+
+The reference keeps one in-process scaling bloom (trwalkers.pas:486,
+trbloom.pas:169-209).  At 10^10 URLs / ε=1e-6 that is ~9.6 bits/URL ≈ 12 TB
+of bitmap — far beyond one node, so the rebuild shards it: bucket =
+rabin64(url) mod P, one deterministic ``ScalingBloomFilter`` per bucket,
+bitmaps persisted to shared storage, probed/updated inside ``mapInPandas``
+(SURVEY.md §2.3 "URL-seen check+add", §4 custom work #1).
+
+Determinism contract (SURVEY.md §7.4): bucket assignment uses the Rabin
+hash with POLYS64[0] (shared numpy kernel — identical in the oracle), and
+adds within a (round, bucket) batch are applied in sorted url order, so the
+final bitmaps are a pure function of the set of (round, url) adds, not of
+task scheduling.
+
+Storage layout (checkpoint_dir):
+    bucket-{i:05d}.pkl         current bitmap for bucket i (pickle of
+                               ScalingBloomFilter.state())
+    bucket-{i:05d}.pkl.tmp-*   in-flight write, renamed atomically
+
+Each executor task loads only the buckets present in its input partition;
+``repartition(P, bucket)`` makes that ~1 bucket per task.  On a real
+cluster the directory lives on the shared FS (HDFS/S3+consistency layer);
+the commit protocol is write-new + atomic rename, and the driver-side
+``commit_round`` manifest pins which bitmap generation a resume sees.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pickle
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.bloom import ScalingBloomFilter
+from ..functions.poly64 import POLYS64
+from ..functions.rabin import Rabin64
+
+_BUCKET_RABIN: Rabin64 | None = None
+
+
+def _bucket_hasher() -> Rabin64:
+    global _BUCKET_RABIN
+    if _BUCKET_RABIN is None:
+        _BUCKET_RABIN = Rabin64(POLYS64[0])
+    return _BUCKET_RABIN
+
+
+def bucket_of(url: str, partitions: int) -> int:
+    """Oracle-side bucket assignment."""
+    return int(_bucket_hasher().hash(url.encode("utf-8")) % partitions)
+
+
+def bucket_udf(partitions: int):
+    """Arrow-batched bucket assignment (same Rabin kernel, vectorized)."""
+
+    @pandas_udf("int")
+    def _bucket(urls: pd.Series) -> pd.Series:
+        h = _bucket_hasher()
+        keys = [u.encode("utf-8") for u in urls]
+        out = np.zeros(len(keys), dtype=np.int64)
+        by_len: dict[int, list[int]] = {}
+        for i, k in enumerate(keys):
+            by_len.setdefault(len(k), []).append(i)
+        for length, idxs in by_len.items():
+            if length == 0:
+                continue
+            mat = np.frombuffer(
+                b"".join(keys[i] for i in idxs), dtype=np.uint8
+            ).reshape(len(idxs), length)
+            out[np.asarray(idxs)] = (h.hash_matrix(mat) % np.uint64(partitions)).astype(
+                np.int64
+            )
+        return pd.Series(out)
+
+    return _bucket
+
+
+class PartitionedSeenSet:
+    def __init__(
+        self,
+        storage_dir: str,
+        partitions: int = 32,
+        error_rate: float = 1e-6,
+        max_memory_mb_per_bucket: int = 256,
+    ):
+        self.dir = storage_dir
+        self.partitions = partitions
+        self.error_rate = error_rate
+        self.max_mb = max_memory_mb_per_bucket
+        os.makedirs(storage_dir, exist_ok=True)
+
+    # -- bucket IO (runs on executors) ----------------------------------
+
+    def _bucket_path(self, bucket: int) -> str:
+        return os.path.join(self.dir, f"bucket-{bucket:05d}.pkl")
+
+    def _load_bucket(self, bucket: int) -> ScalingBloomFilter:
+        path = self._bucket_path(bucket)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return ScalingBloomFilter.from_state(pickle.load(f))
+        return ScalingBloomFilter(self.error_rate, self.max_mb)
+
+    def _save_bucket(self, bucket: int, filt: ScalingBloomFilter) -> None:
+        path = self._bucket_path(bucket)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(filt.state(), f)
+        os.replace(tmp, path)
+
+    # -- DataFrame ops ----------------------------------------------------
+
+    def with_bucket(self, df: DataFrame, url_col: str = "url_norm") -> DataFrame:
+        return df.withColumn("bloom_bucket", bucket_udf(self.partitions)(F.col(url_col)))
+
+    def _run(self, df: DataFrame, url_col: str, mutate: bool) -> DataFrame:
+        """Probe (mutate=False) or check-and-add (mutate=True).
+
+        Returns the input plus ``seen`` boolean (True = already in the set
+        before this call; for mutate=True a row's duplicates later in the
+        same round are seen=True) and per-row lineage columns
+        (bloom_bucket, bloom_scalings).
+        """
+        seen_self = self
+
+        def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: dict[int, ScalingBloomFilter] = {}
+            dirty: set[int] = set()
+            for pdf in batches:
+                if pdf.empty:
+                    yield pdf.assign(seen=pd.Series(dtype=bool), bloom_scalings=pd.Series(dtype="int32"))
+                    continue
+                seen = np.zeros(len(pdf), dtype=bool)
+                scalings = np.zeros(len(pdf), dtype=np.int32)
+                # deterministic order: sort positions by url within bucket
+                for bucket, grp in pdf.groupby("bloom_bucket"):
+                    b = int(bucket)
+                    if b not in cache:
+                        cache[b] = seen_self._load_bucket(b)
+                    filt = cache[b]
+                    order = np.argsort(grp[url_col].to_numpy(), kind="stable")
+                    pos = grp.index.to_numpy()[order]
+                    keys = [u.encode("utf-8") for u in grp[url_col].to_numpy()[order]]
+                    if mutate:
+                        added = filt.add_batch(keys)
+                        newly = np.asarray(added, dtype=bool)
+                        dirty.add(b)
+                    else:
+                        newly = np.fromiter(
+                            (not filt.check(k) for k in keys), dtype=bool, count=len(keys)
+                        )
+                    loc = pdf.index.get_indexer(pos)
+                    seen[loc] = ~newly
+                    scalings[loc] = filt.scalings
+                yield pdf.assign(seen=seen, bloom_scalings=scalings)
+            if mutate:
+                for b in dirty:
+                    seen_self._save_bucket(b, cache[b])
+
+        bucketed = self.with_bucket(df, url_col).repartition(
+            self.partitions, F.col("bloom_bucket")
+        )
+        schema = (
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in bucketed.schema)
+            + ", seen boolean, bloom_scalings int"
+        )
+        return bucketed.mapInPandas(work, schema)
+
+    def probe(self, df: DataFrame, url_col: str = "url_norm") -> DataFrame:
+        """Read-only membership: input + seen flag (no bitmap writes)."""
+        return self._run(df, url_col, mutate=False)
+
+    def check_and_add(self, df: DataFrame, url_col: str = "url_norm") -> DataFrame:
+        """Mutating add; rows that were new get seen=False.  The write is a
+        side effect of the action that consumes the returned DataFrame —
+        call within one round's materialization only once."""
+        return self._run(df, url_col, mutate=True)
+
+    # -- metrics / manifest ----------------------------------------------
+
+    def stats(self) -> dict:
+        out = {"buckets": 0, "adds": 0, "rejects": 0, "memory_bits": 0, "scalings": 0}
+        for path in glob.glob(os.path.join(self.dir, "bucket-*.pkl")):
+            with open(path, "rb") as f:
+                filt = ScalingBloomFilter.from_state(pickle.load(f))
+            out["buckets"] += 1
+            out["adds"] += filt.adds
+            out["rejects"] += filt.rejects
+            out["memory_bits"] += filt.memory_bits
+            out["scalings"] += filt.scalings
+        return out
+
+    def commit_round(self, round_no: int, extra: dict | None = None) -> None:
+        manifest = {"round": round_no, "stats": self.stats(), **(extra or {})}
+        tmp = os.path.join(self.dir, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.dir, "manifest.json"))

@@ -1,0 +1,309 @@
+"""Spark superstep runner for the ClaraX random walk.
+
+Distribution model (SURVEY.md §3.2): K independent walkers advance in
+lockstep rounds.  Each round is
+
+    states ──applyInPandas(advance)──▶ fetch requests (≤1 per walker)
+    requests ⋈ docs table  ("the network" — broadcast-hash equi-join,
+                            requests side broadcast: K rows vs the corpus)
+    results fed back into the next advance
+
+The per-walker sequential semantics live in operators/walkstate.py (shared
+with the single-process oracle); this module owns only the distributed
+plumbing: state serialization, the fetch join, log/emission extraction,
+lineage truncation, and parquet snapshot checkpoints with per-round
+metrics.  Crawl order is decided exclusively by (walker_id, seq) from the
+pinned RNG protocol — never by task scheduling — so the output is invariant
+under partitioning (SURVEY.md §7.4).
+
+Scale notes: walkers scale horizontally (each is one group in the
+applyInPandas shuffle); the corpus join is the heavy stage and uses the
+docs table's own partitioning.  Walker state (bloom + cache + stack)
+travels through the shuffle, so per-walker blooms are sized for
+ordering-parity crawls (10^5..10^7 URLs/walker); the 10^10-frontier path is
+operators/frontier.py, where the seen-set is a partitioned bloom instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..clean.simplefilter import valid_col
+from ..functions.urlnorm import canonicalize_col
+from ..operators.walkstate import WalkConfig, WalkerState, partition_seeds, robots_map
+
+ADVANCE_SCHEMA = (
+    "walker_id int, state binary, fetch_url string, done boolean, "
+    "log_json string, emitted_json string"
+)
+
+LOG_TABLE_SCHEMA = (
+    "round int, walker_id int, seq int, clock int, follow string, url string, "
+    "host string, wait int, http string, process string, seen int, "
+    "links_found int, stack_size int"
+)
+
+EMITTED_TABLE_SCHEMA = (
+    "round int, walker_id int, partition_id int, seq int, url string, "
+    "doc_id string"
+)
+
+
+def _advance(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: deliver the round's fetch result, walk to the
+    next fetch boundary, and drain logs/emissions."""
+    st = WalkerState.loads(pdf["state"].iloc[0])
+    if st.pending is not None:
+        found = bool(pdf["found"].iloc[0]) if pd.notna(pdf["found"].iloc[0]) else False
+        valid = bool(pdf["valid"].iloc[0]) if pd.notna(pdf["valid"].iloc[0]) else False
+        links_json = pdf["links_json"].iloc[0]
+        links = [
+            (l["url"], l["relation"]) for l in json.loads(links_json)
+        ] if isinstance(links_json, str) and links_json else []
+        doc_id = pdf["doc_id"].iloc[0] if pd.notna(pdf["doc_id"].iloc[0]) else ""
+        st.deliver_fetch(found=found, valid=valid, links=links, doc_id=doc_id)
+    url = st.run_until_fetch()
+    log_rows = [vars(r) for r in st.drain_log()]
+    emitted = [
+        {"seq": seq, "url": u, "doc_id": did} for (seq, u, did) in st.drain_emitted()
+    ]
+    return pd.DataFrame(
+        {
+            "walker_id": [st.walker_id],
+            "state": [st.dumps()],
+            "fetch_url": [url],
+            "done": [st.done],
+            "log_json": [json.dumps(log_rows)],
+            "emitted_json": [json.dumps(emitted)],
+        }
+    )
+
+
+@dataclass
+class SparkCrawl:
+    """Distributed crawl session over a docs DataFrame."""
+
+    spark: SparkSession
+    config: WalkConfig
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0  # rounds; 0 = only on finish
+    metrics: list[dict] = field(default_factory=list)
+    rounds_run: int = 0
+
+    def prepare_fetch_table(self, docs: DataFrame) -> DataFrame:
+        """The synthetic 'network': canonical-URL-keyed fetch results.
+
+        Filter validity and link lists are computed once, JVM-side, at scan
+        time — the walkers never see raw HTML.
+        """
+        return (
+            docs.select(
+                canonicalize_col(F.col("url")).alias("url_canon"),
+                F.col("doc_id"),
+                valid_col(F.col("spans")).alias("valid"),
+                F.to_json(F.col("links")).alias("links_json"),
+            )
+            .where(F.col("url_canon") != "")
+        )
+
+    def init_states(self, seeds: list[str], robots_rows: list[dict]) -> DataFrame:
+        parts = partition_seeds(seeds, self.config.n_walkers)
+        rmap = robots_map(robots_rows)
+        rows = [
+            (wid, WalkerState(wid, self.config, parts[wid], rmap).dumps())
+            for wid in range(self.config.n_walkers)
+        ]
+        return self.spark.createDataFrame(rows, "walker_id int, state binary")
+
+    def run(
+        self,
+        docs: DataFrame,
+        seeds: list[str],
+        robots_rows: list[dict],
+        max_rounds: int = 10_000,
+        states: DataFrame | None = None,
+    ) -> dict[str, DataFrame]:
+        fetch_df = self.prepare_fetch_table(docs).persist()
+        fetch_df.count()  # materialize once; every round joins against it
+
+        if states is None:
+            states = self.init_states(seeds, robots_rows)
+        if "fetch_url" not in states.columns:
+            # fresh start: nothing in flight.  A resumed snapshot carries the
+            # in-flight fetch_url and MUST keep it — the pickled state still
+            # has that fetch pending, and round 1 must feed it the join
+            # result, not a synthetic failure.
+            states = states.withColumn("fetch_url", F.lit(None).cast("string"))
+        states = states.select("walker_id", "state", "fetch_url")
+
+        # State carry between rounds.  Chained localCheckpoints degrade
+        # super-linearly in long loops (measured: x2.5/round past ~18
+        # rounds on Spark 4.1), so state round-trips through storage
+        # instead: through the driver for small fleets (default; K x
+        # ~250 KB per round), or through a parquet round file when a
+        # checkpoint_dir is set (fully distributed; the round file doubles
+        # as the resumable snapshot).
+        parquet_mode = bool(self.checkpoint_dir)
+        states_rows: list[tuple] = []
+        if parquet_mode:
+            states = self._write_round_states(states, 0)
+        else:
+            states_rows = [
+                (r["walker_id"], bytearray(r["state"]), r["fetch_url"])
+                for r in states.collect()
+            ]
+
+        # Log/emission rows are tiny (O(events) per round) and are folded
+        # back to the driver each round; the fetch dataflow itself never
+        # leaves the cluster.  At fleet scale these would append to a
+        # parquet/Iceberg log table per round instead.
+        log_rows: list[tuple] = []
+        emitted_rows: list[tuple] = []
+        state_schema = "walker_id int, state binary, fetch_url string"
+
+        for rnd in range(max_rounds):
+            if not parquet_mode:
+                states = self.spark.createDataFrame(states_rows, state_schema)
+
+            requests = states.where(F.col("fetch_url").isNotNull()).select(
+                "walker_id", "fetch_url"
+            )
+            fetched = F.broadcast(requests).join(
+                fetch_df, requests.fetch_url == fetch_df.url_canon, "inner"
+            ).select(
+                "walker_id",
+                F.lit(True).alias("found"),
+                "valid",
+                "links_json",
+                "doc_id",
+            )
+            inp = states.join(fetched, "walker_id", "left").select(
+                "walker_id", "state", "found", "valid", "links_json", "doc_id"
+            )
+            out = inp.groupBy("walker_id").applyInPandas(_advance, ADVANCE_SCHEMA)
+
+            if parquet_mode:
+                states = self._write_round_states(out, rnd + 1)
+                round_meta = states.select(
+                    "walker_id",
+                    "fetch_url",
+                    "log_json",
+                    "emitted_json",
+                    F.spark_partition_id().alias("partition_id"),
+                ).collect()
+            else:
+                round_meta = out.collect()
+                states_rows = [
+                    (r["walker_id"], bytearray(r["state"]), r["fetch_url"])
+                    for r in round_meta
+                ]
+
+            n_active = 0
+            for row in round_meta:
+                if row["fetch_url"] is not None:
+                    n_active += 1
+                for r in json.loads(row["log_json"]):
+                    log_rows.append(
+                        (
+                            rnd, r["walker_id"], r["seq"], r["clock"], r["follow"],
+                            r["url"], r["host"], r["wait"], r["http"], r["process"],
+                            r["seen"], r["links_found"], r["stack_size"],
+                        )
+                    )
+                for e in json.loads(row["emitted_json"]):
+                    emitted_rows.append(
+                        (
+                            rnd,
+                            row["walker_id"],
+                            row["partition_id"] if parquet_mode else 0,
+                            e["seq"], e["url"], e["doc_id"],
+                        )
+                    )
+
+            self.metrics.append(
+                {"round": rnd, "active_walkers": n_active, "rounds_total": rnd + 1}
+            )
+            self.rounds_run = rnd + 1
+
+            if parquet_mode and (
+                n_active == 0
+                or (self.checkpoint_every and (rnd + 1) % self.checkpoint_every == 0)
+            ):
+                self._snapshot(
+                    states.select("walker_id", "state", "fetch_url"),
+                    log_rows,
+                    emitted_rows,
+                    rnd,
+                )
+            if n_active == 0:
+                break
+
+        if not parquet_mode:
+            states = self.spark.createDataFrame(states_rows, state_schema)
+        else:
+            states = states.select("walker_id", "state", "fetch_url")
+
+        crawl_log = self.spark.createDataFrame(log_rows, LOG_TABLE_SCHEMA)
+        emitted = self.spark.createDataFrame(emitted_rows, EMITTED_TABLE_SCHEMA)
+        result = {
+            "crawl_log": crawl_log.orderBy("walker_id", "seq"),
+            "emitted": emitted.orderBy("walker_id", "seq"),
+            "states": states,
+        }
+        fetch_df.unpersist()
+        return result
+
+    def _write_round_states(self, df: DataFrame, rnd: int) -> DataFrame:
+        """Parquet round-trip: persist this round's full advance output and
+        read it back (lineage fully cut; survives driver restarts)."""
+        path = os.path.join(self.checkpoint_dir, "rounds", f"round-{rnd:06d}")
+        cols = set(df.columns)
+        full = df
+        for name in ("log_json", "emitted_json"):
+            if name not in cols:
+                full = full.withColumn(name, F.lit("[]"))
+        full.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    # -- snapshot checkpoints (Iceberg-style: data + manifest commit) -------
+
+    def _snapshot(self, states, log_rows, emitted_rows, rnd: int) -> None:
+        snap = os.path.join(self.checkpoint_dir, f"snap-{rnd + 1:06d}")
+        states.write.mode("overwrite").parquet(os.path.join(snap, "states"))
+        self.spark.createDataFrame(log_rows, LOG_TABLE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(snap, "crawl_log"))
+        self.spark.createDataFrame(emitted_rows, EMITTED_TABLE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(snap, "emitted"))
+        manifest = {
+            "round": rnd + 1,
+            "metrics": self.metrics,
+            "config_seed": self.config.seed,
+            "n_walkers": self.config.n_walkers,
+        }
+        tmp = os.path.join(self.checkpoint_dir, f".manifest-{rnd + 1:06d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(snap, "manifest.json"))
+
+    @staticmethod
+    def latest_snapshot(checkpoint_dir: str) -> str | None:
+        if not os.path.isdir(checkpoint_dir):
+            return None
+        snaps = sorted(
+            d
+            for d in os.listdir(checkpoint_dir)
+            if d.startswith("snap-")
+            and os.path.exists(os.path.join(checkpoint_dir, d, "manifest.json"))
+        )
+        return os.path.join(checkpoint_dir, snaps[-1]) if snaps else None
+
+    def resume_states(self, snapshot_path: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(snapshot_path, "states"))

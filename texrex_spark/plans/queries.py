@@ -1,0 +1,898 @@
+"""Driver-contract query suite: every operator exposed as a (Spark, SQL) pair.
+
+Each entry runs the Spark-native implementation of one SURVEY.md §2
+operator over the driver's test tables and carries an ANSI-SQL oracle that
+DuckDB executes on the same parquet — the driver compares row counts,
+schemas, and value hashes (CORRECTNESS_r{N}.json).
+
+Conventions that keep the comparison honest:
+- every computed column is aliased identically on both sides;
+- floats are rounded (4 dp) on both sides before comparison;
+- sums over ints are cast to BIGINT on both sides (DuckDB widens to
+  HUGEINT otherwise);
+- deterministic ORDER-insensitive output (the driver sorts), ties broken
+  by explicit keys inside window ranks.
+
+The portable MinHash here hashes with md5 (shared by Spark and DuckDB) and
+takes lexicographic minima of hex digests — a valid min-wise family for
+correctness checking.  The *engine* MinHash used for reference parity is
+the Rabin-64 kernel (functions/rabin.py, trshingler.pas:97-150); it is
+exercised by pytest, not by this oracle suite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, Query] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Classic relational operators (SURVEY.md §2.7 checklist)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_agg_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT)                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                    AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                         AS avg_qty,
+           COUNT(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing(spark, sf_dir):
+    """Hash aggregation with partial (map-side) combine — the tender
+    pair-count aggregation pattern (trtenderapplication.pas:549-632)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q_join_topk",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue,
+           COUNT(*) AS orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    LIMIT 5
+    """,
+)
+def q_join_topk(spark, sf_dir):
+    """Equi-joins with a broadcast dim + distributed top-k (sort+limit =
+    TakeOrderedAndProject, the tecl/tender join family, SURVEY.md §2.5)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("orders"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+        .limit(5)
+    )
+
+
+@_register(
+    "q_window_running",
+    """
+    SELECT event_id, user_id, value,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS running_value,
+           ROUND(value - COALESCE(lag(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id), 0), 2) AS delta
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q_window_running(spark, sf_dir):
+    """Window functions: running sum + lag, the deboilerplater's ±k-div
+    smoothing pattern re-expressed relationally (trdeboilerplater.pas:540-616)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0)), 2).alias(
+            "delta"
+        ),
+    )
+
+
+@_register(
+    "q_stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation — the batch-equivalent plan of the
+    Structured-Streaming variant (readStream + window()); the crawl loop's
+    per-round metrics roll up the same way (SURVEY.md §2.7 streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+
+
+@_register(
+    "q_range_join",
+    """
+    WITH blocks AS (
+      SELECT CAST(i AS BIGINT) AS loc_id,
+             CAST(i * 1000 AS BIGINT) AS lower_b,
+             CAST((i + 1) * 1000 AS BIGINT) AS upper_b
+      FROM (SELECT unnest(generate_series(0, 99)) AS i)
+    ), points AS (
+      SELECT event_id, (event_id * 37) % 100000 AS ipnum FROM events
+    )
+    SELECT b.loc_id, COUNT(*) AS n_points
+    FROM points p JOIN blocks b
+      ON p.ipnum >= b.lower_b AND p.ipnum < b.upper_b
+    GROUP BY b.loc_id
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range join — the geolocation IP-block lookup (trgeolocator.pas:
+    116-173).  Blocks are broadcast; Catalyst plans a BroadcastNestedLoop
+    over the interval predicate, the right physical choice for a small
+    sorted dim (the engine's big-data variant is np.searchsorted in a
+    pandas UDF, texrex_spark/clean/geo.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") * 37 % 100000).alias("ipnum")
+    )
+    blocks = spark.range(0, 100).select(
+        F.col("id").alias("loc_id"),
+        (F.col("id") * 1000).alias("lower_b"),
+        ((F.col("id") + 1) * 1000).alias("upper_b"),
+    )
+    return (
+        ev.join(
+            F.broadcast(blocks),
+            (ev.ipnum >= blocks.lower_b) & (ev.ipnum < blocks.upper_b),
+        )
+        .groupBy("loc_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-domain operators over deterministically derived tables
+# ---------------------------------------------------------------------------
+
+# Messy URLs derived from the documents table; both engines build the same
+# strings, then OUR canonicalizer must produce the normative form.
+
+_URL_DERIVE_SQL = """
+  SELECT doc_id,
+         'HTTP://Site' || CAST(doc_id % 37 AS VARCHAR) ||
+         '.Example.COM:80/p/' || CAST(doc_id AS VARCHAR) || '?q=1#frag' AS url
+  FROM documents
+"""
+
+
+def _url_derive(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Site"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".Example.COM:80/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q=1#frag"),
+        ).alias("url"),
+    )
+
+
+@_register(
+    "q_url_canonicalize",
+    f"""
+    WITH urls AS ({_URL_DERIVE_SQL})
+    SELECT doc_id,
+           'http://site' || CAST(doc_id % 37 AS VARCHAR) ||
+           '.example.com/p/' || CAST(doc_id AS VARCHAR) || '?q=1' AS url_norm,
+           'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+           'com' AS tld,
+           '/p/' || CAST(doc_id AS VARCHAR) AS path
+    FROM urls
+    """,
+)
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (north-star mandate; host/TLD semantics
+    trutilities.pas:393-405): lowercase scheme+host, strip default port,
+    drop fragment.  The oracle states the expected output literally, so
+    this checks the operator, not a shared bug."""
+    from ..functions import urlnorm
+
+    urls = _url_derive(spark, sf_dir)
+    canon = urlnorm.canonicalize_col(F.col("url"))
+    return urls.select(
+        "doc_id",
+        canon.alias("url_norm"),
+        urlnorm.extract_host_col(canon).alias("host"),
+        urlnorm.extract_tld_col(urlnorm.extract_host_col(canon)).alias("tld"),
+        urlnorm.extract_path_col(canon).alias("path"),
+    )
+
+
+@_register(
+    "q_robots_gate",
+    """
+    WITH frontier AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+             '/p/' || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    ), robots AS (
+      SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+             (h % 4 = 0) AS has_robots,
+             CASE WHEN h % 4 = 0 THEN ['/p/1', '/private'] ELSE [] END
+               AS disallow_prefixes
+      FROM (SELECT unnest(generate_series(0, 36)) AS h)
+    )
+    SELECT f.doc_id, f.host, f.path
+    FROM frontier f LEFT JOIN robots r ON f.host = r.host
+    WHERE r.has_robots IS NULL OR NOT r.has_robots
+       OR NOT EXISTS (
+            SELECT 1 FROM unnest(r.disallow_prefixes) AS t(p)
+            WHERE starts_with(f.path, p))
+    """,
+)
+def q_robots_gate(spark, sf_dir):
+    """robots.txt gating via broadcast-joined rule table + JVM-side
+    prefix-exists (trpoliteness.pas:333-349)."""
+    from ..operators.robots import gate_frontier
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(F.lit("/p/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    robots = spark.range(0, 37).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        (F.col("id") % 4 == 0).alias("has_robots"),
+        F.when(F.col("id") % 4 == 0, F.array(F.lit("/p/1"), F.lit("/private")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow_prefixes"),
+    )
+    return gate_frontier(frontier, robots).select("doc_id", "host", "path")
+
+
+@_register(
+    "q_politeness_admit",
+    """
+    WITH frontier AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+             doc_id AS priority,
+             CAST(5 + (doc_id % 37) % 7 AS BIGINT) AS delay
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, host, priority, delay,
+             row_number() OVER (PARTITION BY host ORDER BY priority) AS host_rank
+      FROM frontier
+    )
+    SELECT doc_id, host, host_rank,
+           CAST((host_rank - 1) * delay AS BIGINT) AS fetch_time
+    FROM ranked
+    WHERE host_rank <= 60 / delay
+    """,
+)
+def q_politeness_admit(spark, sf_dir):
+    """Per-host politeness admission: window-ranked budget
+    round_seconds/delay with spaced logical fetch times
+    (trpoliteness.pas:320-362 -> operators/politeness.py)."""
+    from ..operators.politeness import admit
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 37).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.col("doc_id").alias("priority"),
+    ).withColumn("url_norm", F.col("doc_id").cast("string"))
+    host_state = frontier.select("host").distinct().select(
+        "host",
+        F.lit(-1).cast("long").alias("last_access"),
+        (
+            F.lit(5)
+            + F.regexp_extract("host", r"site(\d+)\.", 1).cast("int") % 7
+        ).alias("crawl_delay"),
+    )
+    admitted = admit(
+        frontier, host_state, min_politeness=1, round_seconds=60, now=0
+    )
+    return admitted.select(
+        "doc_id", "host", "host_rank", F.col("fetch_time").cast("bigint").alias("fetch_time")
+    )
+
+
+@_register(
+    "q_frontier_dedup",
+    """
+    WITH seen AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    LEFT JOIN seen s ON d.doc_id = s.doc_id
+    WHERE s.doc_id IS NULL
+    """,
+)
+def q_frontier_dedup(spark, sf_dir):
+    """Seen-set anti-join — the exact-set semantics the partitioned bloom
+    approximates at 1e-6 (trwalkers.pas:826-845; operators/seenset.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    return docs.join(seen, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+@_register(
+    "q_link_relation",
+    """
+    WITH pairs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'www.blog' ELSE 'forum' END ||
+               '.site' || CAST(doc_id % 11 AS VARCHAR) || '.de' AS src_host,
+             CASE WHEN doc_id % 2 = 0 THEN 'www.blog' ELSE 'shop' END ||
+               '.site' || CAST(doc_id % 7 AS VARCHAR) || '.de' AS dst_host
+      FROM documents
+    )
+    SELECT doc_id, src_host, dst_host,
+      CASE
+        WHEN src_host = dst_host THEN 'trlSameFullHost'
+        WHEN (string_split(src_host, '.'))[-1] = (string_split(dst_host, '.'))[-1]
+         AND (string_split(src_host, '.'))[-2] = (string_split(dst_host, '.'))[-2]
+        THEN 'trlSameNonVirtualHost'
+        ELSE 'trlDifferentHosts'
+      END AS relation
+    FROM pairs
+    """,
+)
+def q_link_relation(spark, sf_dir):
+    """Link relation classification (trutilities.pas:420-471): same full
+    host / same non-virtual host (last two segments) / different."""
+    from ..functions.urlnorm import link_relation_col
+
+    pairs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.blog")).otherwise(
+                F.lit("forum")
+            ),
+            F.lit(".site"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(".de"),
+        ).alias("src_host"),
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("www.blog")).otherwise(
+                F.lit("shop")
+            ),
+            F.lit(".site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".de"),
+        ).alias("dst_host"),
+    )
+    return pairs.select(
+        "doc_id",
+        "src_host",
+        "dst_host",
+        link_relation_col(F.col("src_host"), F.col("dst_host")).alias("relation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (SURVEY.md §2.5 + training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_dedup_exact",
+    """
+    WITH ranked AS (
+      SELECT doc_id, md5(text) AS text_hash,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, text_hash FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Perfect-duplicate removal, keep-first-by-id (trduplicatedetector.pas:
+    114-122 — content fingerprint into a seen-set; exact variant)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# Portable MinHash: 8 md5-keyed min-wise functions over 5-token shingles.
+_SHINGLE_SQL = """
+  WITH tokarr AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  ), toks AS (
+    SELECT doc_id, u.i AS pos, ts[u.i] AS tok
+    FROM tokarr, unnest(generate_series(1, len(ts))) AS u(i)
+  ), sh AS (
+    SELECT doc_id,
+           tok || lead(tok, 1) OVER w || lead(tok, 2) OVER w ||
+           lead(tok, 3) OVER w || lead(tok, 4) OVER w AS shingle
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lead(tok, 4) OVER w IS NOT NULL
+  )
+"""
+
+_MINHASH_SQL = (
+    _SHINGLE_SQL
+    + """
+  , hashes AS (
+    SELECT doc_id, j.j AS j,
+           min(substr(md5(CAST(j.j AS VARCHAR) || ':' || shingle), 1, 15)) AS minhash
+    FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+    GROUP BY doc_id, j.j
+  )
+"""
+)
+
+
+def _shingles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat(
+            "tok",
+            F.lead("tok", 1).over(w),
+            F.lead("tok", 2).over(w),
+            F.lead("tok", 3).over(w),
+            F.lead("tok", 4).over(w),
+        ).alias("shingle"),
+        F.lead("tok", 4).over(w).alias("_l4"),
+    ).where(F.col("_l4").isNotNull())
+    return sh.select("doc_id", "shingle")
+
+
+def _minhash(spark, sf_dir):
+    sh = _shingles(spark, sf_dir)
+    js = spark.range(0, 8).select(F.col("id").cast("int").alias("j"))
+    return (
+        sh.crossJoin(F.broadcast(js))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), "shingle")),
+                    1,
+                    15,
+                )
+            ).alias("minhash")
+        )
+    )
+
+
+@_register("q_minhash_signature", _MINHASH_SQL + "SELECT doc_id, j, minhash FROM hashes")
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures: w-shingling with 5-token n-grams, min per hash
+    function (trshingler.pas:97-150).  Portable md5 family; the bit-exact
+    Rabin family is the engine path (tests/test_shingler.py)."""
+    return _minhash(spark, sf_dir)
+
+
+_PAIRS_SQL = (
+    _MINHASH_SQL
+    + """
+  , buckets AS (
+    SELECT j, minhash, list(doc_id ORDER BY doc_id) AS ids
+    FROM hashes GROUP BY j, minhash
+    HAVING count(*) BETWEEN 2 AND 200
+  ), pairs AS (
+    SELECT a.x AS doc_a, b.x AS doc_b
+    FROM buckets, unnest(ids) AS a(x), unnest(ids) AS b(x)
+    WHERE a.x < b.x
+  )
+"""
+)
+
+
+@_register(
+    "q_neardup_pairs",
+    _PAIRS_SQL
+    + """
+    SELECT doc_a, doc_b, COUNT(*) AS shared
+    FROM pairs GROUP BY doc_a, doc_b HAVING COUNT(*) >= 3
+    """,
+)
+def q_neardup_pairs(spark, sf_dir):
+    """tender pair generation + threshold: docs sharing >= 3 of 8 minhashes
+    (scaled from >=5 of 100, trtenderapplication.pas:146), redundancy cap
+    200 per bucket (trshinglehelpers.pas:436-438) — the explicit hot-key
+    guard for the groupBy."""
+    mh = _minhash(spark, sf_dir)
+    buckets = (
+        mh.groupBy("j", "minhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids").between(2, 200))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+    )
+
+
+@_register(
+    "q_neardup_survivors",
+    _PAIRS_SQL
+    + """
+  , counted AS (
+    SELECT doc_a, doc_b FROM pairs GROUP BY doc_a, doc_b HAVING COUNT(*) >= 3
+  ), blacklist AS (
+    SELECT DISTINCT x AS doc_id FROM (
+      SELECT CASE WHEN a.n_chars < b.n_chars THEN doc_a
+                  WHEN a.n_chars > b.n_chars THEN doc_b
+                  WHEN doc_a < doc_b THEN doc_a ELSE doc_b END AS x
+      FROM counted
+      JOIN documents a ON a.doc_id = doc_a
+      JOIN documents b ON b.doc_id = doc_b)
+  )
+  SELECT d.doc_id, d.lang FROM documents d
+  LEFT JOIN blacklist bl ON d.doc_id = bl.doc_id
+  WHERE bl.doc_id IS NULL
+    """,
+)
+def q_neardup_survivors(spark, sf_dir):
+    """tender blacklist (smaller doc loses, trtenderapplication.pas:549-632)
+    + tecl anti-join (trteclapplication.pas:255-369)."""
+    docs = _t(spark, sf_dir, "documents")
+    counted = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("na"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("nb"))
+    loser = (
+        counted.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
+            .when(F.col("na") > F.col("nb"), F.col("doc_b"))
+            .when(F.col("doc_a") < F.col("doc_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    return docs.join(loser, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@_register(
+    "q_ngram_jaccard",
+    _SHINGLE_SQL
+    + """
+  , sets AS (SELECT doc_id, shingle FROM sh GROUP BY doc_id, shingle),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+  SELECT doc_a, doc_b,
+         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup (the quantity MinHash estimates;
+    doc/texrex manual w-shingling) via shingle-set self-join."""
+    sets = _shingles(spark, sf_dir).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sets.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops; texrex assessment/tokenizer family)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                 len(string_split(text, ' ')), 4) AS ttr
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Type/token counting (TTrTypeTokenData, trdata.pas:69-121)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("ttr"),
+    )
+
+
+@_register(
+    "q_top_tokens",
+    """
+    WITH toks AS (
+      SELECT t.tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    ), counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+    SELECT tok, n, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk
+    FROM counts
+    ORDER BY rnk LIMIT 20
+    """,
+)
+def q_top_tokens(spark, sf_dir):
+    """Top-k token output (TrWriteTokens, trwritetools.pas:274-310):
+    explode + count + rank window + limit."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "tok")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .orderBy("rnk")
+        .limit(20)
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+
+
+@_register(
+    "q_quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains({_STOPWORDS!r}, t))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+           (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05)
+             AS passes
+    FROM feats
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Text-quality scoring: stopword-profile deviation gate — the
+    TTrTextAssessment shape (trtextassessment.pas:210-260) on simple,
+    portable features."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tokens = F.size(toks)
+    ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 4).alias("avg_token_len"),
+        ((n_tokens >= 20) & (ratio >= 0.05)).alias("passes"),
+    )
+
+
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "los", "que"],
+}
+
+
+@_register(
+    "q_langid",
+    f"""
+    WITH scores AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), t -> list_contains({_LANG_PROFILES['en']!r}, t))) AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains({_LANG_PROFILES['de']!r}, t))) AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains({_LANG_PROFILES['es']!r}, t))) AS s_es
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+           WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+    FROM scores
+    """,
+)
+def q_langid(spark, sf_dir):
+    """Language ID by profile-hit argmax — the multi-language assessment's
+    keep-argmin-badness shape (trtextassessment.pas:127-165)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(lang):
+        arr = F.array(*[F.lit(s) for s in _LANG_PROFILES[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    s_en, s_de, s_es = score("en"), score("de"), score("es")
+    return docs.select(
+        "doc_id",
+        F.when((s_en >= s_de) & (s_en >= s_es), F.lit("en"))
+        .when(s_de >= s_es, F.lit("de"))
+        .otherwise(F.lit("es"))
+        .alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_ann_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(q.qv, e.embedding), 4) AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.qid
+    )
+    SELECT qid, vec_id, cos FROM (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k: the exact baseline for ANN (JVM-side
+    zip_with/aggregate dot product; the LSH-bucketed scale path reuses the
+    minhash bucketing machinery)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))), 4).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5).drop("rn")
+    )
+
+
+@_register(
+    "q_embedding_neardup",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.9
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection over a bounded slice
+    (the exact kernel the LSH path prunes candidates for)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos > 0.9)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
+    )
