@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries + frontier scheduling throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "frontier": {"urls": N, "sec": s, "urls_per_sec": r}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  BENCH_FRONTIER_URLS (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_pricing",
+    "q_join_topk",
+    "q_window_running",
+    "q_dedup_exact",
+    "q_minhash_signature",
+    "q_neardup_pairs",
+    "q_neardup_survivors",
+    "q_token_stats",
+    "q_top_tokens",
+    "q_quality_score",
+    "q_ann_topk",
+    "q_range_join",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("texrex_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from texrex_spark.plans.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.time()
+        # full materialization without driver transfer
+        n = q(spark, sf_dir).write.format("noop").mode("overwrite").save()  # noqa: F841
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_frontier(spark, n_urls: int, work_dir: str) -> dict:
+    """One scheduler round over a synthetic n-URL frontier: canonicalize ->
+    partitioned-bloom dedup -> robots gate -> politeness admit.  The
+    BASELINE.json metric is URLs scheduled+deduped per second."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.frontier import FrontierConfig, FrontierScheduler
+    from texrex_spark.operators.politeness import admit
+    from texrex_spark.operators.robots import gate_frontier
+    from texrex_spark.sources.synth import synthetic_frontier_df
+
+    n_hosts = max(n_urls // 2000, 16)
+    cfg = FrontierConfig(seen_partitions=32, bloom_error_rate=1e-6)
+    sched = FrontierScheduler(spark, cfg, work_dir)
+
+    raw = synthetic_frontier_df(spark, n_urls, n_hosts)
+    robots = spark.range(n_hosts).select(
+        F.concat(F.lit("bench"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.col("id") % 5 == 0).alias("has_robots"),
+        F.when(F.col("id") % 5 == 0, F.array(F.lit("/p/1")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow_prefixes"),
+    )
+    host_state = spark.createDataFrame(
+        [], "host string, last_access long, crawl_delay int"
+    )
+
+    t0 = time.time()
+    cand = sched.candidates_from(raw)
+    unseen = sched.seen.check_and_add(cand).where(~F.col("seen")).drop(
+        "seen", "bloom_scalings", "bloom_bucket"
+    )
+    gated = gate_frontier(unseen, robots)
+    admitted = admit(
+        gated, host_state, min_politeness=1, round_seconds=3600, now=0
+    )
+    n_admitted = admitted.count()
+    elapsed = time.time() - t0
+    return {
+        "urls": n_urls,
+        "admitted": n_admitted,
+        "sec": round(elapsed, 3),
+        "urls_per_sec": round(n_urls / elapsed, 1),
+    }
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", "2000000"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    work_dir = tempfile.mkdtemp(prefix="texrex-bench-")
+    try:
+        t0 = time.time()
+        per_query = bench_queries(spark, sf_dir)
+        frontier = bench_frontier(spark, n_urls, work_dir)
+        total = round(time.time() - t0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline queries + frontier schedule+dedup, total wall sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": per_query,
+                    "sf": sf,
+                    "frontier": frontier,
+                    "cpus": cpus,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,36 @@ def test_state_roundtrip():
     assert all(s2.check(f"key-{i}".encode()) for i in range(400))
     assert s2.add(b"key-7") is False
     assert s2.add(b"brand-new") is True
+
+
+def test_bulk_add_matches_sequential_on_distinct_keys():
+    keys = [f"http://h{i}.example/{i}".encode() for i in range(3000)]
+    seq = BloomFilter(5000, 0.001)
+    seq_res = [seq.add(k) for k in keys]
+    blk = BloomFilter(5000, 0.001)
+    blk_res = blk.add_bulk(blk.hash_indices(keys))
+    assert seq_res == blk_res.tolist()
+    assert (seq.bits == blk.bits).all()
+    # second bulk pass: everything rejected
+    again = blk.add_bulk(blk.hash_indices(keys))
+    assert not again.any()
+
+
+def test_scaling_bulk_add_grows_and_dedups():
+    s = ScalingBloomFilter(0.01)
+    # realistic URL-length keys: Rabin degrades for keys < 8 bytes (the
+    # starter-byte path never mixes; faithful to the reference algorithm)
+    keys = [f"http://h{i % 97}.example/page/{i}".encode() for i in range(2000)]
+    new = s.add_bulk(keys)
+    # false "seen" compound across the scaling chain: the reference reuses
+    # the same p per sub-filter (trbloom.pas:461-462, no Almeida tightening
+    # ratio), so expected error here is ~#filters * p, not p.  At the
+    # crawler's p=1e-6 this is negligible; at the test's p=0.01 it is a few
+    # percent.
+    assert int(new.sum()) >= 1890
+    assert s.scalings >= 1
+    # membership across chain, vectorized
+    assert s.check_bulk(keys).all()
+    assert not s.check_bulk([b"never-added-1", b"never-added-2"]).any()
+    # re-add: all rejects even across grown filters
+    assert not s.add_bulk(keys).any()

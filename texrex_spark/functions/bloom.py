@@ -97,6 +97,37 @@ class BloomFilter:
                 out[i] = True
         return out
 
+    def check_bulk(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership for pre-computed (n, k) bit indices."""
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        present = self._get(hashes.reshape(-1)).reshape(hashes.shape)
+        return present.all(axis=1)
+
+    def add_bulk(self, hashes: np.ndarray) -> np.ndarray:
+        """Bulk-batch add with *set-at-once* semantics: membership is
+        evaluated against the pre-batch bitmap for every key, then all new
+        keys' bits are set together.  Unlike sequential ``add_batch`` this
+        is independent of within-batch order (callers must dedup exact
+        keys first) — the property the distributed seen-set needs for
+        partition-order-free determinism.  Differs from sequential adds
+        only when an earlier in-batch key would have induced a bloom false
+        positive on a later one (p ~ the filter's error rate).
+        """
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        seen = self.check_bulk(hashes)
+        new = ~seen
+        if new.any():
+            self._set(hashes[new].reshape(-1))
+        self.adds += int(new.sum())
+        self.rejects += int(seen.sum())
+        return new
+
+    def hash_indices(self, keys: list[bytes]) -> np.ndarray:
+        """(n, k) bit indices for a key batch (one vectorized Rabin pass)."""
+        return self.provider.hash_batch(keys) % _U64(self.m)
+
     @property
     def observed_error_rate(self) -> float:
         p0 = (1.0 - 1.0 / self.m) ** (self.k * self.adds)
@@ -141,6 +172,20 @@ class ScalingBloomFilter:
     def check(self, key: bytes) -> bool:
         return any(f.check(key) for f in self.filters)
 
+    def check_bulk(self, keys: list[bytes]) -> np.ndarray:
+        """Vectorized membership across the scaling chain."""
+        out = np.zeros(len(keys), dtype=bool)
+        if not keys:
+            return out
+        pending = np.arange(len(keys))
+        for f in self.filters:
+            if pending.size == 0:
+                break
+            seen = f.check_bulk(f.hash_indices([keys[i] for i in pending]))
+            out[pending[seen]] = True
+            pending = pending[~seen]
+        return out
+
     def add(self, key: bytes) -> bool:
         for f in self.filters[:-1]:
             if f.check(key):
@@ -152,6 +197,54 @@ class ScalingBloomFilter:
 
     def add_batch(self, keys: list[bytes]) -> np.ndarray:
         return np.fromiter((self.add(k) for k in keys), dtype=bool, count=len(keys))
+
+    def add_bulk(self, keys: list[bytes]) -> np.ndarray:
+        """Vectorized set-at-once batch add across the scaling chain.
+
+        Per-key semantics mirror sequential ``add``: a key already present
+        in ANY sub-filter is a reject; new keys go into the newest filter;
+        the chain grows (capacity doubling) when the newest filter crosses
+        its error-rate target, and the *remaining* keys of the same batch
+        continue into the new filter.  Callers pass exact-deduped keys so
+        the result is order-independent (see BloomFilter.add_bulk).
+        """
+        out = np.zeros(len(keys), dtype=bool)
+        if not keys:
+            return out
+        pending = np.arange(len(keys))
+        # reject anything present in filters closed before this batch
+        checked_closed = len(self.filters) - 1
+        for f in self.filters[:checked_closed]:
+            if pending.size == 0:
+                return out
+            idx = f.hash_indices([keys[i] for i in pending])
+            seen = f.check_bulk(idx)
+            pending = pending[~seen]
+        # chunked insert into the newest filter; growth between chunks
+        # closes the previous newest filter, so each chunk re-checks
+        # against any filter closed since the batch started.  Chunk size
+        # tracks the live filter's capacity so the growth trigger fires at
+        # (approximately) the same fill level as sequential adds.
+        pos = 0
+        while pos < pending.size:
+            if self.filters[-1].is_full and not self.out_of_memory:
+                self._grow()
+            chunk = max(64, self.filters[-1].expected_members - self.filters[-1].adds)
+            take = pending[pos : pos + chunk]
+            pos += chunk
+            kb = [keys[i] for i in take]
+            for f in self.filters[checked_closed:-1]:
+                seen = f.check_bulk(f.hash_indices(kb))
+                take = take[~seen]
+                kb = [keys[i] for i in take]
+                if take.size == 0:
+                    break
+            if take.size == 0:
+                continue
+            last = self.filters[-1]
+            new = last.add_bulk(last.hash_indices(kb))
+            out[take] = new
+        return out
 
     def _grow(self) -> None:
         new_size = self.filters[-1].expected_members * 2

@@ -13,6 +13,13 @@ follows Sean Owen's public-domain Java rabinhash implementation
 - The deterministic provider is "the first n polynomials" of the fixed
   1000-entry table (trrabinhash.pas:294-306); see poly64.py.
 
+Known property kept for fidelity: inputs shorter than 8 bytes never reach
+the table-mixing block loop, so their hash is the raw big-endian value —
+identical across ALL polynomials.  Callers hashing short keys (the bloom
+filters, the shingler) must feed keys >= 8-9 bytes; the reference does the
+same (URLs are long; shingles are padded to >= 9 chars,
+trshingler.pas:127-129).
+
 The whole kernel is uint64 numpy; batches of equal-length keys hash in a
 single vectorized pass per byte position, so pandas-UDF callers stay
 Arrow-batched with no per-row Python in the hot loop.

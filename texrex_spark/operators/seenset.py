@@ -9,9 +9,10 @@ bitmaps persisted to shared storage, probed/updated inside ``mapInPandas``
 
 Determinism contract (SURVEY.md §7.4): bucket assignment uses the Rabin
 hash with POLYS64[0] (shared numpy kernel — identical in the oracle), and
-adds within a (round, bucket) batch are applied in sorted url order, so the
-final bitmaps are a pure function of the set of (round, url) adds, not of
-task scheduling.
+adds use *set-at-once* bulk semantics (membership judged against the
+pre-batch bitmap, exact duplicates deduped first; bloom.add_bulk), so the
+final bitmaps are a pure function of the set of (round, url) adds —
+independent of task scheduling AND of row order within a partition.
 
 Storage layout (checkpoint_dir):
     bucket-{i:05d}.pkl         current bitmap for bucket i (pickle of
@@ -140,24 +141,27 @@ class PartitionedSeenSet:
                     continue
                 seen = np.zeros(len(pdf), dtype=bool)
                 scalings = np.zeros(len(pdf), dtype=np.int32)
-                # deterministic order: sort positions by url within bucket
                 for bucket, grp in pdf.groupby("bloom_bucket"):
                     b = int(bucket)
                     if b not in cache:
                         cache[b] = seen_self._load_bucket(b)
                     filt = cache[b]
-                    order = np.argsort(grp[url_col].to_numpy(), kind="stable")
-                    pos = grp.index.to_numpy()[order]
-                    keys = [u.encode("utf-8") for u in grp[url_col].to_numpy()[order]]
+                    urls = grp[url_col].to_numpy()
+                    # exact within-batch dedup: bulk semantics are defined
+                    # over the SET of keys (order-independent); among equal
+                    # urls only the first row (original order) counts as new
+                    uniq, first_idx, inverse = np.unique(
+                        urls, return_index=True, return_inverse=True
+                    )
+                    keys = [u.encode("utf-8") for u in uniq]
                     if mutate:
-                        added = filt.add_batch(keys)
-                        newly = np.asarray(added, dtype=bool)
+                        new_u = filt.add_bulk(keys)
                         dirty.add(b)
                     else:
-                        newly = np.fromiter(
-                            (not filt.check(k) for k in keys), dtype=bool, count=len(keys)
-                        )
-                    loc = pdf.index.get_indexer(pos)
+                        new_u = ~filt.check_bulk(keys)
+                    newly = np.zeros(len(urls), dtype=bool)
+                    newly[first_idx[new_u]] = True
+                    loc = pdf.index.get_indexer(grp.index.to_numpy())
                     seen[loc] = ~newly
                     scalings[loc] = filt.scalings
                 yield pdf.assign(seen=seen, bloom_scalings=scalings)
