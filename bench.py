@@ -102,7 +102,7 @@ def bench_frontier(spark, n_urls: int, work_dir: str) -> dict:
     )
     gated = gate_frontier(unseen, robots)
     admitted = admit(
-        gated, host_state, min_politeness=1, round_seconds=3600, now=0
+        gated, host_state, min_politeness=1, round_seconds=60, now=0
     )
     n_admitted = admitted.count()
     elapsed = time.time() - t0

@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling evidence (sandbox substitute for N vs 4N executors).
+
+Runs the identical frontier schedule+dedup job on the same synthetic input
+at local[8] and local[32] (4x cores), 3 measured runs each after a warmup,
+and reports median throughput plus scaling efficiency
+``(thr_4N / thr_N) / 4`` (target >= 0.8, BASELINE.json north_rule).
+
+Usage:
+  python3 bench/scaling.py            # orchestrates both configs, prints JSON,
+                                      # rewrites BENCH.md
+  python3 bench/scaling.py --worker 8 # one config (invoked via spark-submit)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_URLS = int(os.environ.get("SCALING_URLS", "2000000"))
+N_HOSTS = max(N_URLS // 2000, 16)
+RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+
+
+def run_config(cores: int) -> dict:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.frontier import FrontierConfig, FrontierScheduler
+    from texrex_spark.operators.politeness import admit
+    from texrex_spark.operators.robots import gate_frontier
+    from texrex_spark.sources.synth import synthetic_frontier_df
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"texrex-scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    raw = synthetic_frontier_df(spark, N_URLS, N_HOSTS).persist()
+    raw.count()  # input materialized once; measured runs see identical input
+    robots = spark.range(N_HOSTS).select(
+        F.concat(F.lit("bench"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.col("id") % 5 == 0).alias("has_robots"),
+        F.when(F.col("id") % 5 == 0, F.array(F.lit("/p/1")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("disallow_prefixes"),
+    )
+    host_state = spark.createDataFrame(
+        [], "host string, last_access long, crawl_delay int"
+    )
+
+    def one_run() -> float:
+        work = tempfile.mkdtemp(prefix=f"texrex-scale-{cores}-")
+        try:
+            sched = FrontierScheduler(
+                spark, FrontierConfig(seen_partitions=cores), work
+            )
+            t0 = time.time()
+            cand = sched.candidates_from(raw)
+            unseen = sched.seen.check_and_add(cand).where(~F.col("seen")).drop(
+                "seen", "bloom_scalings", "bloom_bucket"
+            )
+            gated = gate_frontier(unseen, robots)
+            # 60-second rounds: realistic politeness budget AND a tight
+            # per-host pre-trim (hot Zipf hosts would otherwise funnel
+            # hundreds of thousands of rows into single window tasks)
+            admitted = admit(gated, host_state, 1, 60, 0)
+            admitted.write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    one_run()  # JVM/Python-worker warmup, discarded
+    times = [one_run() for _ in range(RUNS)]
+    spark.stop()
+    med = statistics.median(times)
+    return {
+        "cores": cores,
+        "urls": N_URLS,
+        "times_sec": [round(t, 2) for t in times],
+        "median_sec": round(med, 3),
+        "urls_per_sec": round(N_URLS / med, 1),
+    }
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--worker") + 1])
+        print("RESULT " + json.dumps(run_config(cores)))
+        return
+
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise SystemExit(f"worker local[{cores}] failed")
+        results[cores] = json.loads(line[-1][len("RESULT "):])
+
+    thr8 = results[8]["urls_per_sec"]
+    thr32 = results[32]["urls_per_sec"]
+    eff = round((thr32 / thr8) / 4, 3)
+    summary = {
+        "metric": "frontier URLs scheduled+deduped per second",
+        "n_urls": N_URLS,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_4x_cores": round(thr32 / thr8, 3),
+        "scaling_efficiency": eff,
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(
+            "# BENCH — frontier scaling evidence (N vs 4N parallelism)\n\n"
+            "Same job, same input (deterministic synthetic frontier, "
+            f"{N_URLS:,} URLs, {N_HOSTS:,} Zipf-ish hosts), pipeline = "
+            "canonicalize -> partitioned-bloom check+add -> robots gate -> "
+            "politeness admit.  JVM warm-up run discarded; median of "
+            f"{RUNS} runs; shuffle partitions = cores; AQE + Arrow on.\n\n"
+            "| config | times (s) | median (s) | URLs/s |\n"
+            "|---|---|---|---|\n"
+            f"| local[8] | {results[8]['times_sec']} | "
+            f"{results[8]['median_sec']} | {thr8:,.0f} |\n"
+            f"| local[32] | {results[32]['times_sec']} | "
+            f"{results[32]['median_sec']} | {thr32:,.0f} |\n\n"
+            f"**Speedup at 4x cores: {summary['speedup_4x_cores']}x — "
+            f"scaling efficiency {eff} (target >= 0.8).**\n\n"
+            "Caveat: single-machine stand-in for the N->4N *executor* "
+            "criterion (BASELINE.md §Scaling-evidence plan); local[8] still "
+            "shares the box's memory bandwidth and GC threads with nothing "
+            "else, which understates true-cluster efficiency for the "
+            "shuffle-light stages and overstates it for memory-bound ones.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

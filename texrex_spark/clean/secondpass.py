@@ -1,0 +1,74 @@
+"""Second pass: entity conversion (double-wash) + tag/email/URI/hashtag
+blanking with per-div counts (/root/reference/src/units/trsecondpass.pas).
+
+Regexes are the reference's quasi-constants (trsecondpass.pas:131-138),
+compiled with the ``regex`` module for \\p{L}/\\p{N} parity with ICU.
+Double-wash = the converter applied twice, catching '&amp;acirc;'
+(trsecondpass.pas:251-253).  Empty divs are invalidated (:278-280).
+"""
+
+from __future__ import annotations
+
+import regex
+
+from .entities import convert_string
+from .stripper import Div
+
+MATCH_TAG = regex.compile(r" *<[A-Za-z!?/][^>]*> *", regex.IGNORECASE)
+MATCH_EMAIL = regex.compile(
+    r" *[\p{L}0-9._-]+\@[\p{L}0-9._-]+\.[\p{L}]{2,8} *", regex.IGNORECASE
+)
+MATCH_URI = regex.compile(
+    r" *\p{L}{2,6}://[\p{L}\p{N}_/%$&,=?~#.+:;-]+[\p{L}\p{N}_/%$=?~#-] *"
+    r"| *www\.[\p{L}\p{N}_/%$&,=?~#.+:;-]+[\p{L}\p{N}_/%$=?~#-] *",
+    regex.IGNORECASE,
+)
+MATCH_HASHTAG = regex.compile(r" *#[\p{L}\p{N}]*[\p{L}][\p{L}\p{N}]* *", regex.IGNORECASE)
+
+
+class SecondPassConfig:
+    cleanse_tags = True
+    cleanse_email = True
+    cleanse_uri = True
+    cleanse_hashtag = True
+    double_wash_entities = True
+    email_replacer = " "
+    uri_replacer = " "
+    hashtag_replacer = " "
+
+
+def cleanse(
+    text: str, cfg: SecondPassConfig | None = None
+) -> tuple[str, int, int, int, int]:
+    cfg = cfg or SecondPassConfig()
+    tags = emails = uris = hashtags = 0
+    if cfg.cleanse_tags:
+        tags = len(MATCH_TAG.findall(text))
+        if tags:
+            text = MATCH_TAG.sub(" ", text)
+    if cfg.cleanse_email:
+        emails = len(MATCH_EMAIL.findall(text))
+        if emails:
+            text = MATCH_EMAIL.sub(cfg.email_replacer, text)
+    if cfg.cleanse_uri:
+        uris = len(MATCH_URI.findall(text))
+        if uris:
+            text = MATCH_URI.sub(cfg.uri_replacer, text)
+    if cfg.cleanse_hashtag:
+        hashtags = len(MATCH_HASHTAG.findall(text))
+        if hashtags:
+            text = MATCH_HASHTAG.sub(cfg.hashtag_replacer, text)
+    return text, tags, emails, uris, hashtags
+
+
+def second_pass(divs: list[Div], cfg: SecondPassConfig | None = None) -> None:
+    cfg = cfg or SecondPassConfig()
+    for d in divs:
+        if d.valid:
+            d.text = convert_string(d.text)
+            if cfg.double_wash_entities:
+                d.text = convert_string(d.text)
+            d.text, d.cleansed_tags, d.cleansed_emails, d.cleansed_uris, \
+                d.cleansed_hashtags = cleanse(d.text, cfg)
+        if d.text == "":
+            d.valid = False

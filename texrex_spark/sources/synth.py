@@ -171,8 +171,10 @@ def generate(
             text = " ".join(words)
             if rng.random() < entity_fraction:
                 # entity-encode pieces; golden span text is the decoded form
-                text_html = text.replace(" ", "&nbsp;", 1).replace("a", "&#97;", 1)
-                text_plain = text.replace(" ", " ", 1)
+                # (&nbsp; deliberately absent: the normalizer deletes NBSP,
+                # trnormalizer.pas:167-171, which would join words)
+                text_html = text.replace("a", "&#97;", 1).replace("o", "&ocirc;", 1)
+                text_plain = text.replace("o", "ô", 1)
             else:
                 text_html, text_plain = text, text
 
