@@ -22,6 +22,7 @@ from typing import Iterator
 from ..functions import urlnorm
 from . import assess as assess_mod
 from . import divdedup, normalize, secondpass, shingle, tokenize
+from .boilerplate import BoilerplateConfig, FannNet, deboilerplate
 from .metaextract import extract_meta
 from .simplefilter import doc_valid as simple_doc_valid
 from .stripper import StripperConfig, result_spans, strip_document
@@ -47,6 +48,10 @@ class ChainConfig:
     simple_size_threshold: int = 100
     simple_div_threshold: int = 2
     blank_duplicate_divs: bool = False  # tecl-style dup blanking in spans
+    use_deboilerplater: bool = False
+    boilerplate_net: FannNet | None = None
+    boilerplate: BoilerplateConfig = field(default_factory=BoilerplateConfig)
+    drop_boilerplate_spans: bool = False  # exclude score>threshold divs from spans
 
 
 @dataclass
@@ -86,15 +91,28 @@ def clean_document(
     # 5. strict UTF-8 validation
     normalize.validate_divs(res.divs)
 
-    # 6. (deboilerplater: boilerplate_score per div — separate module,
-    #    applied when configured; default score 0.0 = keep)
+    # 6. deboilerplater: 37 features + MLP score per div + doc thresholds
+    valid = True
+    if cfg.use_deboilerplater and cfg.boilerplate_net is not None:
+        bres = deboilerplate(
+            res.divs,
+            res.doctype,
+            len(raw_html),
+            cfg.boilerplate_net,
+            cfg.boilerplate,
+        )
+        if not bres.doc_valid:
+            valid = False
+        if cfg.drop_boilerplate_spans:
+            for d in res.divs:
+                if d.boilerplate_score > cfg.boilerplate.threshold:
+                    d.valid = False
 
     # 7. tokenizer over qualifying divs
     ttd = tokenize.tokenize_divs(res.divs, cfg.tokenizer)
 
     # 8. multi-language assessment
     language, badness = "", 0.0
-    valid = True
     if cfg.use_assessment and cfg.profiles:
         language, badness = assess_mod.assess_multi(
             ttd, cfg.profiles, cfg.good_enough

@@ -84,28 +84,19 @@ class FrontierScheduler:
     # -- stage builders ---------------------------------------------------
 
     def candidates_from(self, urls: DataFrame, depth_col=None) -> DataFrame:
-        """Canonicalize raw URLs into frontier rows (pure Catalyst)."""
+        """Canonicalize raw URLs into frontier rows — a pure, map-only
+        projection (no shuffle).  Exact-duplicate URLs survive here on
+        purpose: the seen-set probe dedups them inside its own bucket
+        shuffle (dedup_round), saving a whole groupBy exchange per round."""
         depth = depth_col if depth_col is not None else F.lit(0)
-        return (
-            urls.select(
-                urlnorm.canonicalize_col(F.col("url")).alias("url_norm"),
-                F.col("priority").cast("long").alias("priority"),
-                depth.cast("int").alias("depth"),
-            )
-            .where(F.col("url_norm") != "")
-            .groupBy("url_norm")
-            .agg(
-                F.min("priority").alias("priority"),
-                F.min("depth").alias("depth"),
-            )
-            .select(
-                "url_norm",
-                urlnorm.extract_host_col(F.col("url_norm")).alias("host"),
-                urlnorm.extract_path_col(F.col("url_norm")).alias("path"),
-                "priority",
-                "depth",
-            )
-        )
+        canon = urlnorm.canonicalize_col(F.col("url"))
+        return urls.select(
+            canon.alias("url_norm"),
+            urlnorm.extract_host_col(canon).alias("host"),
+            urlnorm.extract_path_col(canon).alias("path"),
+            F.col("priority").cast("long").alias("priority"),
+            depth.cast("int").alias("depth"),
+        ).where(F.col("url_norm") != "")
 
     def prepare_docs(self, docs: DataFrame) -> DataFrame:
         """Fetch table keyed by canonical URL, with harvested links."""
@@ -181,9 +172,9 @@ class FrontierScheduler:
         for rnd in range(rounds):
             t0 = time.time()
 
-            unseen = self.seen.probe(frontier).where(~F.col("seen")).drop(
-                "seen", "bloom_scalings", "bloom_bucket"
-            )
+            unseen = self.seen.probe(frontier, dedup_round=True).where(
+                ~F.col("seen")
+            ).drop("seen", "bloom_scalings", "bloom_bucket")
             gated = gate_frontier(unseen, robots)
 
             # host state enriched with robots crawl-delay for the formula
@@ -224,17 +215,12 @@ class FrontierScheduler:
                 admitted.select("url_norm"), "url_norm", "left_anti"
             ).select("url_norm", "host", "path", "priority", "depth")
 
+            # priority-queue cap = distributed top-k (TakeOrdered); exact
+            # duplicate urls are NOT merged here — next round's probe
+            # dedups them inside its bucket shuffle.
             next_frontier = (
                 self.candidates_from(links, depth_col=F.col("depth"))
                 .unionByName(deferred)
-                .groupBy("url_norm")
-                .agg(
-                    F.min("priority").alias("priority"),
-                    F.min("depth").alias("depth"),
-                    F.first("host").alias("host"),
-                    F.first("path").alias("path"),
-                )
-                .select("url_norm", "host", "path", "priority", "depth")
                 .orderBy("priority")
                 .limit(cfg.frontier_cap)
             ).localCheckpoint(eager=True)

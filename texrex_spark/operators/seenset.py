@@ -122,19 +122,28 @@ class PartitionedSeenSet:
     def with_bucket(self, df: DataFrame, url_col: str = "url_norm") -> DataFrame:
         return df.withColumn("bloom_bucket", bucket_udf(self.partitions)(F.col(url_col)))
 
-    def _run(self, df: DataFrame, url_col: str, mutate: bool) -> DataFrame:
+    def _run(
+        self, df: DataFrame, url_col: str, mutate: bool, dedup_round: bool = False
+    ) -> DataFrame:
         """Probe (mutate=False) or check-and-add (mutate=True).
 
         Returns the input plus ``seen`` boolean (True = already in the set
         before this call; for mutate=True a row's duplicates later in the
         same round are seen=True) and per-row lineage columns
         (bloom_bucket, bloom_scalings).
+
+        dedup_round=True additionally marks exact-duplicate URLs within
+        this call seen=True after their first occurrence even in probe
+        mode — fusing the round's exact dedup into this pass so the
+        scheduler needs no separate groupBy shuffle (equal URLs colocate
+        here anyway, the bucket IS a url hash).
         """
         seen_self = self
 
         def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cache: dict[int, ScalingBloomFilter] = {}
             dirty: set[int] = set()
+            round_seen: set[str] = set()
             for pdf in batches:
                 if pdf.empty:
                     yield pdf.assign(seen=pd.Series(dtype=bool), bloom_scalings=pd.Series(dtype="int32"))
@@ -159,6 +168,13 @@ class PartitionedSeenSet:
                         dirty.add(b)
                     else:
                         new_u = ~filt.check_bulk(keys)
+                    if dedup_round and round_seen:
+                        dup = np.fromiter(
+                            (u in round_seen for u in uniq), dtype=bool, count=len(uniq)
+                        )
+                        new_u &= ~dup
+                    if dedup_round:
+                        round_seen.update(uniq[new_u].tolist())
                     newly = np.zeros(len(urls), dtype=bool)
                     newly[first_idx[new_u]] = True
                     loc = pdf.index.get_indexer(grp.index.to_numpy())
@@ -178,9 +194,11 @@ class PartitionedSeenSet:
         )
         return bucketed.mapInPandas(work, schema)
 
-    def probe(self, df: DataFrame, url_col: str = "url_norm") -> DataFrame:
+    def probe(
+        self, df: DataFrame, url_col: str = "url_norm", dedup_round: bool = False
+    ) -> DataFrame:
         """Read-only membership: input + seen flag (no bitmap writes)."""
-        return self._run(df, url_col, mutate=False)
+        return self._run(df, url_col, mutate=False, dedup_round=dedup_round)
 
     def check_and_add(self, df: DataFrame, url_col: str = "url_norm") -> DataFrame:
         """Mutating add; rows that were new get seen=False.  The write is a
