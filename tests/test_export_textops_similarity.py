@@ -1,0 +1,207 @@
+"""Export sinks, HyDRA/rofl, SimHash/ANN similarity, multimodal plumbing,
+and the streaming metrics aggregation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from texrex_spark.clean.hydra import Unigrams, dehyphenate
+from texrex_spark.clean.rofl import fix_runons
+from texrex_spark.operators import export, multimodal, similarity, textops
+
+
+# ---------------- hydra / rofl ----------------
+
+
+def test_hydra_decisions():
+    uni = Unigrams({"unterwerfen": 50, "unter-werfen": 5, "unter-": 10, "werfen": 10,
+                    "tele-fon": 80, "telefon": 3, "tele-": 1, "fon": 2})
+    # merger wins: unter- werfen -> unterwerfen
+    assert dehyphenate("wir unter- werfen uns", uni) == "wir unterwerfen uns"
+    # concat (hyphen kept) wins: tele- fon -> tele-fon
+    assert dehyphenate("per tele- fon bitte", uni) == "per tele-fon bitte"
+    # a single letter before '-' is not a candidate (left pattern {2,})
+    assert dehyphenate("per e- mail bitte", uni) == "per e- mail bitte"
+    # unknown pair left alone
+    assert dehyphenate("xx- yy", uni) == "xx- yy"
+    # German NN-compound fallback -> concatenate (hyphen kept, :471-477)
+    assert dehyphenate("Donau- Dampfer", Unigrams({}), german=True) == "Donau-Dampfer"
+    # trailing punctuation is carried (the $2 'after' group)
+    assert dehyphenate("wir unter- werfen, uns", uni) == "wir unterwerfen, uns"
+
+
+def test_rofl_runon_fix():
+    words = {"ende", "it", "was", "good"}
+    assert fix_runons("ende.It was", words) == "ende. It was"
+    # unknown halves untouched
+    assert fix_runons("xyz.Abc def", words) == "xyz.Abc def"
+    # ignore lists respected
+    assert fix_runons("ende.It", words, prefix_ignore={"ende"}) == "ende.It"
+
+
+# ---------------- export sinks ----------------
+
+
+@pytest.fixture(scope="module")
+def cleaned_df(spark):
+    from texrex_spark.clean.chain import ChainConfig, clean_docs
+    from texrex_spark.sources import synth
+
+    corpus = synth.generate(n_hosts=5, n_docs=30, seed=21)
+    df = synth.docs_df(spark, corpus).select("doc_id", "url", "raw_html")
+    return clean_docs(df, ChainConfig(use_assessment=False, shingle_hashes=8)).cache()
+
+
+def test_xml_corpus(spark, cleaned_df):
+    xml = export.xml_corpus(cleaned_df).collect()
+    assert len(xml) > 0
+    doc = xml[0]["xml"]
+    assert doc.startswith("<doc url=") and doc.endswith("</doc>")
+    assert '<div idx="' in doc
+    assert 'host="' in doc and 'bdc="' in doc
+
+
+def test_links_shingles_tokens_sinks(spark, cleaned_df):
+    links = export.links_sink(cleaned_df)
+    assert {"src_url", "link", "relation", "badness"} <= set(links.columns)
+    assert links.count() > 0
+    sh = export.shingles_sink(cleaned_df)
+    assert sh.columns == ["minhash", "doc_id", "doc_size"]
+    per_doc = sh.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 8 for r in per_doc)  # 8 hashes configured
+    toks = export.tokens_sink(cleaned_df, top_k=5)
+    assert toks.groupBy("doc_id").count().agg(F.max("count")).first()[0] <= 5
+
+
+def test_cowinterleave(spark, cleaned_df):
+    rows = export.cowinterleave(cleaned_df).collect()
+    assert len(rows) > 0
+    assert all("\n" not in r["line"] and "\t" not in r["line"] for r in rows)
+
+
+# ---------------- textops: simhash / dedup ----------------
+
+
+def test_simhash_properties():
+    a = textops.simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = textops.simhash64("the quick brown fox jumps over the lazy cat".split())
+    c = textops.simhash64("completely different words entirely unrelated".split())
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(a, b) < ham(a, c)
+    assert textops.simhash64([]) == 0
+    assert a == textops.simhash64("the quick brown fox jumps over the lazy dog".split())
+
+
+def test_hamming_neardup_spark(spark):
+    base = textops.simhash64("some moderately long text about crawling".split())
+    flip = np.int64(base) ^ np.int64(1 << 5)  # distance 1
+    far = textops.simhash64("unrelated content with other tokens".split())
+    df = spark.createDataFrame(
+        [("a", int(base)), ("b", int(flip)), ("c", int(far))],
+        "doc_id string, simhash long",
+    )
+    pairs = textops.hamming_neardup(df, max_distance=3).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [("a", "b", 1)]
+
+
+def test_exact_dedup_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = textops.exact_dedup(df).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+
+# ---------------- similarity: exact + LSH ----------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(4)
+    base = rng.normal(0, 1, (40, 16)).astype(np.float32)
+    base[1] = base[0] + rng.normal(0, 0.01, 16).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_cosine_topk(spark, emb_df):
+    q = emb_df.where(F.col("vec_id") == 0)
+    top = similarity.cosine_topk(emb_df, q, k=3).orderBy("rnk").collect()
+    assert top[0]["vec_id"] == 1  # the planted near-duplicate
+    assert top[0]["cos"] > 0.99
+
+
+def test_lsh_neardup_finds_planted_pair(spark, emb_df):
+    pairs = similarity.lsh_neardup(
+        emb_df, bands=8, bits=8, threshold=0.95, dim=16
+    ).collect()
+    assert ("a" or True)  # structure check below
+    found = {(p["vec_a"], p["vec_b"]) for p in pairs}
+    assert (0, 1) in found
+
+
+# ---------------- multimodal plumbing ----------------
+
+
+def test_multimodal_pipeline(spark, cleaned_df):
+    media = multimodal.synth_media_df(spark, cleaned_df)
+    n = media.count()
+    assert n > 0
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == n
+    assert all(0 <= f["mean_intensity"] <= 255 for f in feats)
+    resized = multimodal.resize_stub(media, 8, 8)
+    r = resized.first()
+    assert r["meta"]["width"] == 8 and len(r["payload"]) == 64
+    # deterministic payloads
+    again = multimodal.synth_media_df(spark, cleaned_df)
+    a = {r["media_ref"]: bytes(r["payload"]) for r in media.collect()}
+    b = {r["media_ref"]: bytes(r["payload"]) for r in again.collect()}
+    assert a == b
+
+
+# ---------------- streaming metrics ----------------
+
+
+def test_fetch_metrics_stream(spark, tmp_path):
+    from texrex_spark.streaming.stream_crawl import fetch_metrics_stream
+
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            ("h1.example", "2024-01-01 00:00:10", 1000, True),
+            ("h1.example", "2024-01-01 00:00:20", 2000, True),
+            ("h2.example", "2024-01-01 00:00:30", 500, False),
+        ],
+        "host string, fetched_at_s string, bytes long, valid boolean",
+    ).withColumn("fetched_at", F.to_timestamp("fetched_at_s")).drop(
+        "fetched_at_s"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "host string, bytes long, valid boolean, fetched_at timestamp"
+    ).parquet(src)
+    agg = fetch_metrics_stream(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("fetch_metrics")
+        .outputMode("append")  # append emits only watermark-closed windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode with a finite source emits nothing until watermark close;
+    # use complete-mode snapshot instead for assertion
+    q2 = (
+        fetch_metrics_stream(stream)
+        .writeStream.format("memory")
+        .queryName("fetch_metrics_c")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM fetch_metrics_c").collect()
+    got = {r["host"]: (r["fetches"], r["bytes"]) for r in rows}
+    assert got["h1.example"] == (2, 3000)
+    assert got["h2.example"] == (1, 500)

