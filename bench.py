@@ -100,7 +100,7 @@ def bench_frontier(spark, n_urls: int, work_dir: str) -> dict:
     unseen = sched.seen.check_and_add(cand).where(~F.col("seen")).drop(
         "seen", "bloom_scalings", "bloom_bucket"
     )
-    gated = gate_frontier(unseen, robots)
+    gated = gate_frontier(sched.with_host_path(unseen), robots)
     admitted = admit(
         gated, host_state, min_politeness=1, round_seconds=60, now=0
     )

@@ -143,3 +143,29 @@ def test_checkpoint_resume(spark, corpus, config, tmp_path):
     rest_emitted = [(r["walker_id"], r["url"]) for r in rest["emitted"].collect()]
 
     assert sorted(part_emitted + rest_emitted) == full_emitted
+
+
+def test_spark_matches_oracle_with_clean_chain(spark, corpus):
+    """Chain mode: fetch results come from the full cleaning chain on both
+    sides (trwalkers.pas:700-771 Process step), not the golden columns."""
+    from texrex_spark.clean.chain import ChainConfig
+    from texrex_spark.operators.walker import SparkCrawl
+
+    cfg = WalkConfig(seed=11, n_walkers=3, max_steps=8,
+                     random_jump_probability=0.1, min_politeness=2)
+    chain_cfg = ChainConfig(use_assessment=False, use_shingler=False)
+
+    oracle = oracle_crawl(corpus, cfg, clean_config=chain_cfg)
+    docs = synth.docs_df(spark, corpus)
+    sc = SparkCrawl(spark, cfg, clean_config=chain_cfg)
+    result = sc.run(docs, corpus.seeds, corpus.robots)
+
+    got_log = [
+        (
+            r["walker_id"], r["seq"], r["clock"], r["follow"], r["url"], r["host"],
+            r["wait"], r["http"], r["process"], r["seen"], r["links_found"],
+            r["stack_size"],
+        )
+        for r in result["crawl_log"].collect()
+    ]
+    assert got_log == oracle.ordered_log()

@@ -64,6 +64,7 @@ class CleanResult:
     meta: dict[str, str]
     language: str = ""
     badness: float = 0.0
+    killed_by: str = ""
     fingerprint: list[int] | None = None
     token_count: int = 0
     div_stats: list[dict] = field(default_factory=list)
@@ -93,6 +94,7 @@ def clean_document(
 
     # 6. deboilerplater: 37 features + MLP score per div + doc thresholds
     valid = True
+    killed_by = ""
     if cfg.use_deboilerplater and cfg.boilerplate_net is not None:
         bres = deboilerplate(
             res.divs,
@@ -103,6 +105,7 @@ def clean_document(
         )
         if not bres.doc_valid:
             valid = False
+            killed_by = killed_by or "deboilerplater"
         if cfg.drop_boilerplate_spans:
             for d in res.divs:
                 if d.boilerplate_score > cfg.boilerplate.threshold:
@@ -119,6 +122,7 @@ def clean_document(
         )
         if badness > cfg.assessment_threshold:
             valid = False
+            killed_by = killed_by or "assessment"
 
     # 9. shingler (MinHash fingerprint)
     fp = None
@@ -150,6 +154,7 @@ def clean_document(
             span_tuples, cfg.simple_size_threshold, cfg.simple_div_threshold
         ):
             valid = False
+            killed_by = killed_by or "simple_filter"
 
     div_stats = [
         {
@@ -170,6 +175,10 @@ def clean_document(
         for d in res.divs
     ]
 
+    if not spans and valid:
+        valid = False
+        killed_by = "stripper"
+
     return CleanResult(
         doc_id=doc_id,
         url=url,
@@ -179,6 +188,7 @@ def clean_document(
         meta=meta,
         language=language,
         badness=badness,
+        killed_by=killed_by,
         fingerprint=fp,
         token_count=ttd.token_count,
         div_stats=div_stats,
@@ -194,7 +204,7 @@ CLEAN_SCHEMA = (
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "links array<struct<url:string,relation:string>>, "
     "meta map<string,string>, language string, badness double, "
-    "fingerprint array<bigint>, token_count int"
+    "killed_by string, fingerprint array<bigint>, token_count int"
 )
 
 
@@ -226,6 +236,7 @@ def clean_docs(docs_df, config: ChainConfig | None = None):
                         "meta": r.meta,
                         "language": r.language,
                         "badness": float(r.badness),
+                        "killed_by": r.killed_by,
                         "fingerprint": r.fingerprint,
                         "token_count": r.token_count,
                     }
@@ -233,3 +244,18 @@ def clean_docs(docs_df, config: ChainConfig | None = None):
             yield pd.DataFrame(rows)
 
     return docs_df.mapInPandas(work, CLEAN_SCHEMA)
+
+
+def stage_stats(cleaned_df):
+    """Per-stage invalid-document counters (the trworker.pas:160-174
+    dashboard re-expressed): groupBy the first killing stage."""
+    from pyspark.sql import functions as F
+
+    return (
+        cleaned_df.groupBy(
+            F.when(F.col("valid"), F.lit("valid")).otherwise(
+                F.coalesce(F.nullif(F.col("killed_by"), F.lit("")), F.lit("other"))
+            ).alias("stage")
+        )
+        .agg(F.count("*").alias("docs"))
+    )

@@ -190,3 +190,17 @@ def cowsplit_write(df: DataFrame, path: str, max_records_per_file: int) -> None:
     df.repartition("doc_id").write.option(
         "maxRecordsPerFile", max_records_per_file
     ).mode("overwrite").parquet(path)
+
+
+def tarc_sink(docs: DataFrame) -> DataFrame:
+    """TARC-style raw dump (TrWriteTarc, trwritetools.pas:313-369): the
+    raw payload with offset/length bookkeeping for random access.  On
+    columnar storage the 'offset' is per-file and assigned at write time;
+    here we emit (doc_id, url, raw bytes, raw_length) — the extractor
+    (arcxi, src/programs/arcxi.pas) becomes a plain filter + select."""
+    return docs.select(
+        "doc_id",
+        "url",
+        F.encode(F.col("raw_html"), "UTF-8").alias("raw"),
+        F.octet_length(F.col("raw_html")).alias("raw_length"),
+    )

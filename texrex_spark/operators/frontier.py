@@ -87,16 +87,25 @@ class FrontierScheduler:
         """Canonicalize raw URLs into frontier rows — a pure, map-only
         projection (no shuffle).  Exact-duplicate URLs survive here on
         purpose: the seen-set probe dedups them inside its own bucket
-        shuffle (dedup_round), saving a whole groupBy exchange per round."""
+        shuffle (dedup_round), saving a whole groupBy exchange per round.
+        Rows stay NARROW (url_norm, priority, depth): host/path are
+        recomputed after the probe so the bloom shuffle moves ~40% fewer
+        bytes."""
         depth = depth_col if depth_col is not None else F.lit(0)
         canon = urlnorm.canonicalize_col(F.col("url"))
         return urls.select(
             canon.alias("url_norm"),
-            urlnorm.extract_host_col(canon).alias("host"),
-            urlnorm.extract_path_col(canon).alias("path"),
             F.col("priority").cast("long").alias("priority"),
             depth.cast("int").alias("depth"),
         ).where(F.col("url_norm") != "")
+
+    @staticmethod
+    def with_host_path(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            urlnorm.extract_host_col(F.col("url_norm")).alias("host"),
+            urlnorm.extract_path_col(F.col("url_norm")).alias("path"),
+        )
 
     def prepare_docs(self, docs: DataFrame) -> DataFrame:
         """Fetch table keyed by canonical URL, with harvested links."""
@@ -175,7 +184,7 @@ class FrontierScheduler:
             unseen = self.seen.probe(frontier, dedup_round=True).where(
                 ~F.col("seen")
             ).drop("seen", "bloom_scalings", "bloom_bucket")
-            gated = gate_frontier(unseen, robots)
+            gated = gate_frontier(self.with_host_path(unseen), robots)
 
             # host state enriched with robots crawl-delay for the formula
             hs = (
@@ -213,7 +222,7 @@ class FrontierScheduler:
             )
             deferred = gated.join(
                 admitted.select("url_norm"), "url_norm", "left_anti"
-            ).select("url_norm", "host", "path", "priority", "depth")
+            ).select("url_norm", "priority", "depth")
 
             # priority-queue cap = distributed top-k (TakeOrdered); exact
             # duplicate urls are NOT merged here — next round's probe

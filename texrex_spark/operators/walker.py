@@ -93,15 +93,36 @@ class SparkCrawl:
     config: WalkConfig
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # rounds; 0 = only on finish
+    clean_config: object | None = None  # ChainConfig -> fetch via clean chain
     metrics: list[dict] = field(default_factory=list)
     rounds_run: int = 0
 
-    def prepare_fetch_table(self, docs: DataFrame) -> DataFrame:
+    def prepare_fetch_table(
+        self, docs: DataFrame, clean_config=None
+    ) -> DataFrame:
         """The synthetic 'network': canonical-URL-keyed fetch results.
 
-        Filter validity and link lists are computed once, JVM-side, at scan
-        time — the walkers never see raw HTML.
+        Two modes:
+        - golden mode (default): validity + link lists come from the docs
+          table's own columns, computed once JVM-side at scan time.
+        - chain mode (clean_config given): raw_html runs through the FULL
+          cleaning chain (clean.chain.clean_docs) exactly as the reference
+          walker processes each fetched page (trwalkers.pas:700-771); links
+          and validity are the chain's outputs.  The oracle uses the same
+          kernel, so ordering parity is preserved by construction.
         """
+        if clean_config is not None:
+            from ..clean.chain import clean_docs
+
+            cleaned = clean_docs(
+                docs.select("doc_id", "url", "raw_html"), clean_config
+            )
+            return cleaned.select(
+                canonicalize_col(F.col("url")).alias("url_canon"),
+                F.col("doc_id"),
+                (F.col("valid") & valid_col(F.col("spans"))).alias("valid"),
+                F.to_json(F.col("links")).alias("links_json"),
+            ).where(F.col("url_canon") != "")
         return (
             docs.select(
                 canonicalize_col(F.col("url")).alias("url_canon"),
@@ -129,7 +150,7 @@ class SparkCrawl:
         max_rounds: int = 10_000,
         states: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
-        fetch_df = self.prepare_fetch_table(docs).persist()
+        fetch_df = self.prepare_fetch_table(docs, self.clean_config).persist()
         fetch_df.count()  # materialize once; every round joins against it
 
         if states is None:

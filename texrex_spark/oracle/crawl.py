@@ -43,7 +43,13 @@ class CrawlResult:
         )
 
 
-def crawl(corpus: SynthCorpus, config: WalkConfig) -> CrawlResult:
+def crawl(
+    corpus: SynthCorpus, config: WalkConfig, clean_config=None
+) -> CrawlResult:
+    """clean_config=None: fetch resolves against the corpus's golden
+    spans/links.  With a ChainConfig, every fetched page runs the full
+    cleaning chain (the same kernel the Spark runner ships to executors in
+    chain mode) — links and validity come from the chain output."""
     from ..functions import urlnorm
 
     docs = {urlnorm.canonicalize(d.url): d for d in corpus.docs}
@@ -60,6 +66,20 @@ def crawl(corpus: SynthCorpus, config: WalkConfig) -> CrawlResult:
             doc = docs.get(url)
             if doc is None:
                 w.deliver_fetch(found=False, valid=False, links=[])
+            elif clean_config is not None:
+                from ..clean.chain import clean_document
+
+                r = clean_document(doc.doc_id, doc.url, doc.raw_html, clean_config)
+                span_tuples = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r.spans
+                ]
+                w.deliver_fetch(
+                    found=True,
+                    valid=r.valid and doc_valid(span_tuples),
+                    links=list(r.links),
+                    doc_id=doc.doc_id,
+                )
             else:
                 w.deliver_fetch(
                     found=True,
