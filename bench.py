@@ -66,6 +66,30 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_clean_chain(spark, n_docs: int = 3000) -> dict:
+    """Cleaning-chain throughput (docs/s) — the reference's own
+    self-metric (statswatcher docs read/written per second,
+    trtexrex.pas statswatcher.inc:110-120)."""
+    from texrex_spark.clean.chain import ChainConfig, clean_docs
+    from texrex_spark.sources import synth
+
+    corpus = synth.generate(
+        n_hosts=max(n_docs // 50, 4), n_docs=n_docs, seed=1234
+    )
+    df = synth.docs_df(spark, corpus).select("doc_id", "url", "raw_html").persist()
+    df.count()
+    cfg = ChainConfig(use_assessment=False, shingle_hashes=100)
+    t0 = time.time()
+    clean_docs(df, cfg).write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    df.unpersist()
+    return {
+        "docs": n_docs,
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+    }
+
+
 def bench_frontier(spark, n_urls: int, work_dir: str) -> dict:
     """One scheduler round over a synthetic n-URL frontier: canonicalize ->
     partitioned-bloom dedup -> robots gate -> politeness admit.  The
@@ -130,16 +154,18 @@ def main() -> None:
         t0 = time.time()
         per_query = bench_queries(spark, sf_dir)
         frontier = bench_frontier(spark, n_urls, work_dir)
+        clean = bench_clean_chain(spark)
         total = round(time.time() - t0, 3)
         print(
             json.dumps(
                 {
-                    "metric": "headline queries + frontier schedule+dedup, total wall sec",
+                    "metric": "headline queries + frontier schedule+dedup + clean chain, total wall sec",
                     "value": total,
                     "unit": "sec",
                     "queries": per_query,
                     "sf": sf,
                     "frontier": frontier,
+                    "clean_chain": clean,
                     "cpus": cpus,
                 }
             )
