@@ -960,3 +960,43 @@ def q_simhash_neardup(spark, sf_dir):
         simhash_udf()(F.col("text")).alias("simhash"),
     )
     return hamming_neardup(docs, max_distance=8).orderBy("doc_a", "doc_b")
+
+
+@_register(
+    "q_geo_rangejoin_engine",
+    ORACLE_SQL["q_range_join"],  # same derivation, same expected output
+)
+def q_geo_rangejoin_engine(spark, sf_dir):
+    """The ENGINE range join (clean/geo.py: broadcast sorted blocks +
+    np.searchsorted in mapInPandas, trgeolocator.pas:134-171) on the same
+    derived input as q_range_join — checked against the identical SQL
+    oracle, proving the custom kernel equals the relational semantics."""
+    from pyspark.sql import functions as F
+
+    from ..clean.geo import GeoBlocks, geolocate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") * 37 % 100000).alias("ipnum")
+    )
+    # ipnum -> dotted IPv4 so the geolocator's ip_to_int path is exercised
+    ip = F.concat_ws(
+        ".",
+        (F.col("ipnum") / 16777216).cast("int").cast("string"),
+        (F.col("ipnum") / 65536 % 256).cast("int").cast("string"),
+        (F.col("ipnum") / 256 % 256).cast("int").cast("string"),
+        (F.col("ipnum") % 256).cast("string"),
+    )
+    points = ev.select("event_id", ip.alias("ip"))
+    blocks = GeoBlocks(
+        lowers=[i * 1000 for i in range(100)],
+        uppers=[(i + 1) * 1000 - 1 for i in range(100)],  # [lower, upper] incl.
+        loc_ids=list(range(100)),
+        locations={i: {"country": f"C{i}", "region": "", "city": ""} for i in range(100)},
+    )
+    located = geolocate(points, blocks)
+    return (
+        located.where(F.col("country").isNotNull())
+        .select(F.regexp_extract("country", r"C(\d+)", 1).cast("bigint").alias("loc_id"))
+        .groupBy("loc_id")
+        .agg(F.count("*").alias("n_points"))
+    )
