@@ -205,3 +205,31 @@ def test_fetch_metrics_stream(spark, tmp_path):
     got = {r["host"]: (r["fetches"], r["bytes"]) for r in rows}
     assert got["h1.example"] == (2, 3000)
     assert got["h2.example"] == (1, 500)
+
+
+def test_streaming_crawl_driver(spark, tmp_path):
+    """Rate-source-driven supersteps: the streaming face of the scheduler.
+    Three ticks must crawl the same URLs one batch run of 3 rounds does."""
+    from texrex_spark.operators.frontier import FrontierConfig, FrontierScheduler
+    from texrex_spark.sources import synth
+    from texrex_spark.streaming.stream_crawl import run_streaming_crawl
+
+    corpus = synth.generate(n_hosts=6, n_docs=60, seed=13)
+    docs = synth.docs_df(spark, corpus)
+    robots = synth.robots_df(spark, corpus)
+    seeds = synth.seeds_df(spark, corpus).selectExpr(
+        "url", "CAST(seed_idx AS LONG) AS priority"
+    )
+
+    cfg = FrontierConfig(seen_partitions=4, bloom_error_rate=1e-4, round_seconds=100)
+    stream_sched = FrontierScheduler(spark, cfg, str(tmp_path / "stream"))
+    metrics = run_streaming_crawl(
+        spark, stream_sched, seeds, docs, robots, rounds=3, timeout_sec=240
+    )
+    assert len(metrics) == 3
+    stream_fetched = stream_sched.seen.stats()["adds"]
+
+    batch_sched = FrontierScheduler(spark, cfg, str(tmp_path / "batch"))
+    batch_sched.run(seeds, docs, robots, rounds=3)
+    batch_fetched = batch_sched.seen.stats()["adds"]
+    assert stream_fetched == batch_fetched

@@ -158,7 +158,11 @@ class FrontierScheduler:
         robots: DataFrame,
         rounds: int = 5,
         collect_fetched: bool = True,
+        host_state: DataFrame | None = None,
+        now: int = 0,
     ) -> dict[str, DataFrame]:
+        """host_state/now allow re-entering the loop with carried politeness
+        state (checkpoint resume; the streaming foreachBatch driver)."""
         cfg = self.config
         fetch_table = self.prepare_docs(docs).persist()
         fetch_table.count()
@@ -169,14 +173,14 @@ class FrontierScheduler:
         # reliable checkpointing requirements this becomes a parquet/Iceberg
         # snapshot write per round (same shape as _snapshot()).
         frontier = self.candidates_from(seeds).localCheckpoint(eager=True)
-        host_state = self.spark.createDataFrame(
-            [], "host string, last_access long, crawl_delay int"
-        )
+        if host_state is None:
+            host_state = self.spark.createDataFrame(
+                [], "host string, last_access long, crawl_delay int"
+            )
         robots_delays = robots.select(
             "host", F.col("crawl_delay").alias("robots_delay")
         )
         fetched_parts: list[DataFrame] = []
-        now = 0
 
         for rnd in range(rounds):
             t0 = time.time()
@@ -274,7 +278,11 @@ class FrontierScheduler:
             if n_frontier == 0:
                 break
 
-        out: dict[str, DataFrame] = {"frontier": frontier, "host_state": host_state}
+        out: dict[str, DataFrame] = {
+            "frontier": frontier,
+            "host_state": host_state,
+            "now": now,
+        }
         if fetched_parts:
             all_fetched = fetched_parts[0]
             for p in fetched_parts[1:]:

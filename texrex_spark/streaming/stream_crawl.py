@@ -67,7 +67,7 @@ def run_streaming_crawl(
     verbatim — foreachBatch hands us a batch DataFrame and we ignore its
     payload, using the tick purely as the round clock).  Returns the
     scheduler's metrics list."""
-    state = {"round": 0, "frontier": None}
+    state = {"round": 0, "frontier": None, "host_state": None, "now": 0}
 
     def tick(batch_df, batch_id: int) -> None:
         if state["round"] >= rounds:
@@ -75,8 +75,8 @@ def run_streaming_crawl(
         if state["frontier"] is None:
             out = scheduler.run(seeds, docs, robots, rounds=1)
         else:
-            # continue from the previous round's frontier: re-enter run()
-            # with the carried frontier expressed as a seeds view
+            # continue from the previous tick: carried frontier, politeness
+            # host state, and logical clock all re-enter run()
             frontier = state["frontier"]
             out = scheduler.run(
                 frontier.select(
@@ -85,8 +85,12 @@ def run_streaming_crawl(
                 docs,
                 robots,
                 rounds=1,
+                host_state=state["host_state"],
+                now=state["now"],
             )
         state["frontier"] = out["frontier"]
+        state["host_state"] = out["host_state"].localCheckpoint(eager=True)
+        state["now"] = out["now"]
         state["round"] += 1
 
     stream = (
