@@ -64,3 +64,77 @@ def test_clean_chain_single_python_stage(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     # the scan reads only the columns the chain needs
     assert "n_chars" not in plan
+
+
+# ---------------- round-2 scale audits (VERDICT r01 weak plans) ----------------
+
+
+def test_frontier_cap_no_driver_topk(spark):
+    """The frontier cap must never compile to TakeOrderedAndProject (a
+    driver-side top-k assembly): cap_by_priority ranks inside URL-hash
+    buckets instead, and its kept set approximates the exact top-cap."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.frontier import cap_by_priority
+
+    df = spark.range(0, 50_000).select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("id") % 97).cast("string"),
+            F.lit(".ex/p/"),
+            F.col("id").cast("string"),
+        ).alias("url_norm"),
+        F.col("id").alias("priority"),
+    )
+    capped = cap_by_priority(df, cap=1000, buckets=16)
+    plan = _plan(capped)
+    assert "TakeOrderedAndProject" not in plan
+    assert "Window" in plan  # bucket-rank, shuffled + spillable
+    n = capped.count()
+    assert 1000 <= n <= 1000 + 16  # ceil(cap/buckets) rounding only
+    # stratified sampling property: the kept set hugs the true top-cap
+    mx = capped.agg(F.max("priority")).first()[0]
+    assert mx < 2500, f"bucket cap kept far-from-top rows (max priority {mx})"
+
+
+def test_admit_no_forced_host_broadcast(spark):
+    """politeness.admit must not hint broadcast on host_state (10^7-10^8
+    rows at 10^10-URL scale); AQE decides at runtime instead."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.politeness import admit
+
+    frontier = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("url_norm"),
+        F.concat(F.lit("h"), (F.col("id") % 10).cast("string")).alias("host"),
+        F.col("id").alias("priority"),
+    )
+    hs = spark.createDataFrame(
+        [(f"h{i}", -1, 3) for i in range(10)],
+        "host string, last_access long, crawl_delay int",
+    )
+    adm = admit(frontier, hs, min_politeness=1, round_seconds=60, now=0)
+    analyzed = adm._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    assert adm.count() > 0
+
+
+def test_seenset_sizing_guardrail(tmp_path):
+    """Bucket count must scale with the expected URL count so one bucket's
+    bitmap fits a task: 10^10 URLs at e=1e-6 is ~36 GB of bitmap."""
+    import pytest as _pytest
+
+    from texrex_spark.operators.seenset import PartitionedSeenSet
+
+    need = PartitionedSeenSet.partitions_for(10**10, 1e-6, 256)
+    assert 100 <= need <= 400  # ~141 by the Broder-Mitzenmacher formula
+    with _pytest.raises(ValueError, match="buckets"):
+        PartitionedSeenSet(
+            str(tmp_path / "s1"), partitions=32, error_rate=1e-6,
+            expected_urls=10**10,
+        )
+    # correctly sized construction passes
+    PartitionedSeenSet(
+        str(tmp_path / "s2"), partitions=need, error_rate=1e-6,
+        expected_urls=10**10,
+    )

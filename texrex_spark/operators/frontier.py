@@ -22,8 +22,8 @@ Scale design decisions, each explicit:
 - **skew**: politeness ranking salts hot hosts (operators/politeness.py);
   AQE handles residual join skew.
 - **priority queue** = (depth, discovery priority); the frontier cap is a
-  distributed top-k (sort+limit compiles to TakeOrderedAndProject, no full
-  sort materialization).
+  bucket-ranked approximate top-k (``cap_by_priority``) — never a global
+  sort+limit, which would assemble cap rows on the driver.
 - **resume**: frontier/host-state parquet snapshots + the seen-set's bucket
   bitmaps and manifest; per-round metrics carry per-partition lineage.
 - the docs join broadcasts nothing (both sides big); it is a plain
@@ -38,17 +38,48 @@ second (BASELINE.json `metric`).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import urlnorm
 from .politeness import admit, advance_host_state
 from .robots import gate_frontier
 from .seenset import PartitionedSeenSet
+
+
+def cap_by_priority(
+    df: DataFrame, cap: int, buckets: int = 256, priority_col: str = "priority",
+    tie_col: str = "url_norm",
+) -> DataFrame:
+    """Scale-safe frontier cap: an approximate distributed top-``cap``.
+
+    ``orderBy().limit(cap)`` compiles to TakeOrderedAndProject, which
+    assembles all ``cap`` rows **on the driver** — tolerable at 10^5, fatal
+    at the 10^8 a 10^10-URL frontier implies.  Instead, rank inside hash
+    buckets of the URL and keep ``ceil(cap/buckets)`` per bucket.  The hash
+    is independent of priority, so each bucket's top slice is a uniform
+    stratum of the global top-cap: the kept set differs from the exact
+    top-cap only at the priority boundary (relative error ~ sqrt(buckets/
+    cap)) and its size by < ``buckets`` rows.  The cap is back-pressure —
+    the reference's walk stack has no cap at all (trwalkers.pas:859-997) —
+    so boundary fuzz is acceptable; a driver-side top-k at scale is not.
+
+    One shuffle on the bucket key; each reducer sorts ~N/buckets rows
+    (spillable window sort), nothing is ever globally ordered.
+    """
+    per_bucket = max(1, math.ceil(cap / buckets))
+    w = Window.partitionBy("_cap_b").orderBy(priority_col, tie_col)
+    return (
+        df.withColumn("_cap_b", F.pmod(F.xxhash64(tie_col), F.lit(buckets)))
+        .withColumn("_cap_r", F.row_number().over(w))
+        .where(F.col("_cap_r") <= per_bucket)
+        .drop("_cap_b", "_cap_r")
+    )
 
 
 @dataclass
@@ -58,6 +89,7 @@ class FrontierConfig:
     min_politeness: int = 2
     round_seconds: int = 60
     frontier_cap: int = 1_000_000
+    cap_buckets: int = 256
     max_depth: int = 6
     min_link_len: int = 16
     max_link_len: int = 1024
@@ -228,14 +260,15 @@ class FrontierScheduler:
                 admitted.select("url_norm"), "url_norm", "left_anti"
             ).select("url_norm", "priority", "depth")
 
-            # priority-queue cap = distributed top-k (TakeOrdered); exact
-            # duplicate urls are NOT merged here — next round's probe
-            # dedups them inside its bucket shuffle.
-            next_frontier = (
-                self.candidates_from(links, depth_col=F.col("depth"))
-                .unionByName(deferred)
-                .orderBy("priority")
-                .limit(cfg.frontier_cap)
+            # priority-queue cap = bucket-ranked approximate top-k (never a
+            # driver-side TakeOrdered); exact duplicate urls are NOT merged
+            # here — next round's probe dedups them inside its bucket shuffle.
+            next_frontier = cap_by_priority(
+                self.candidates_from(links, depth_col=F.col("depth")).unionByName(
+                    deferred
+                ),
+                cfg.frontier_cap,
+                cfg.cap_buckets,
             ).localCheckpoint(eager=True)
 
             n_frontier = frontier.count()

@@ -101,7 +101,11 @@ def admit(
         F.coalesce(F.col("last_access"), F.lit(-1)) == -1, F.lit(now)
     ).otherwise(F.greatest(F.col("last_access") + delay, F.lit(now)))
 
-    cand = frontier.join(F.broadcast(host_state), "host", "left").withColumn(
+    # NO forced broadcast of host_state: at 10^10 URLs the host table is
+    # 10^7-10^8 rows, far past broadcast limits, and a hardcoded hint would
+    # bypass AQE's size check.  Left un-hinted, AQE broadcasts it while it
+    # is small and falls back to a shuffled hash join when it is not.
+    cand = frontier.join(host_state, "host", "left").withColumn(
         "_salt", F.pmod(F.xxhash64("url_norm"), F.lit(salt_buckets))
     )
 

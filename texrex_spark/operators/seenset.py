@@ -1,8 +1,9 @@
 """Partitioned deterministic URL-seen set: the 10^10-scale bloom filter.
 
 The reference keeps one in-process scaling bloom (trwalkers.pas:486,
-trbloom.pas:169-209).  At 10^10 URLs / ε=1e-6 that is ~9.6 bits/URL ≈ 12 TB
-of bitmap — far beyond one node, so the rebuild shards it: bucket =
+trbloom.pas:169-209).  At 10^10 URLs / ε=1e-6 that is -ln(ε)/ln²2 ≈ 28.8
+bits/URL ≈ 36 GB of bitmap (plus scaling-growth overhead) — far beyond one
+task's memory, so the rebuild shards it: bucket =
 rabin64(url) mod P, one deterministic ``ScalingBloomFilter`` per bucket,
 bitmaps persisted to shared storage, probed/updated inside ``mapInPandas``
 (SURVEY.md §2.3 "URL-seen check+add", §4 custom work #1).
@@ -85,18 +86,60 @@ def bucket_udf(partitions: int):
 
 
 class PartitionedSeenSet:
+    """Sizing rule (assert-checked when ``expected_urls`` is given): each
+    bucket's bitmap must FIT IN ONE TASK'S MEMORY, so
+
+        partitions >= expected_urls * bits_per_url(error_rate)
+                      / (max_memory_mb_per_bucket * 8e6)
+
+    where bits_per_url = -ln(e)/ln^2(2) (~= 28.8 bits at e=1e-6, the
+    trbloom.pas:241-249 formula).  At 10^10 URLs / e=1e-6 the total bitmap
+    is ~36 GB, so the default 32 buckets (~1.1 GB each, before
+    scaling-growth overhead) would blow the 256 MB/task budget — you need
+    >= ~150 buckets by memory alone, and more for task parallelism.  Use
+    ``partitions_for`` to derive the bucket count from the crawl's expected
+    frontier size."""
+
     def __init__(
         self,
         storage_dir: str,
         partitions: int = 32,
         error_rate: float = 1e-6,
         max_memory_mb_per_bucket: int = 256,
+        expected_urls: int | None = None,
     ):
         self.dir = storage_dir
         self.partitions = partitions
         self.error_rate = error_rate
         self.max_mb = max_memory_mb_per_bucket
+        if expected_urls is not None:
+            need = self.partitions_for(
+                expected_urls, error_rate, max_memory_mb_per_bucket
+            )
+            if partitions < need:
+                raise ValueError(
+                    f"seen-set bucket bitmaps would exceed the per-task memory "
+                    f"budget: {expected_urls:.3g} URLs at e={error_rate} need "
+                    f">= {need} buckets of <= {max_memory_mb_per_bucket} MB, "
+                    f"got partitions={partitions}"
+                )
         os.makedirs(storage_dir, exist_ok=True)
+
+    @staticmethod
+    def bits_per_url(error_rate: float) -> float:
+        """Broder-Mitzenmacher bits/member (trbloom.pas:241-249)."""
+        ln2 = float(np.log(2.0))
+        return float(-np.log(error_rate)) / (ln2 * ln2)
+
+    @classmethod
+    def partitions_for(
+        cls, expected_urls: int, error_rate: float = 1e-6,
+        max_memory_mb_per_bucket: int = 256,
+    ) -> int:
+        """Minimum bucket count so each bucket's bitmap fits the budget."""
+        total_bits = expected_urls * cls.bits_per_url(error_rate)
+        budget_bits = max_memory_mb_per_bucket * 8_000_000
+        return max(1, int(np.ceil(total_bits / budget_bits)))
 
     # -- bucket IO (runs on executors) ----------------------------------
 

@@ -96,14 +96,16 @@ def with_lsh_signatures(
 
 
 def lsh_neardup(
-    df: DataFrame, bands: int = 8, bits: int = 12, threshold: float = 0.9,
+    df: DataFrame, dim: int, bands: int = 8, bits: int = 12, threshold: float = 0.9,
     vec_col: str = "embedding", id_col: str = "vec_id",
-    max_bucket: int = 200, seed: int = 42, dim: int | None = None,
+    max_bucket: int = 200, seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs (cos > threshold) via banded sign-LSH +
-    exact re-rank of bucket candidates."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    exact re-rank of bucket candidates.
+
+    ``dim`` is required: inferring it with ``df.first()`` would trigger a
+    driver-side job in the middle of the pipeline (a planning-time action
+    on a 10^9-row table)."""
     planes = hyperplanes(dim, bands, bits, seed)
     sigs = with_lsh_signatures(df, planes, bands, bits, vec_col).select(
         F.col(id_col).alias("vec_id"), "_v",

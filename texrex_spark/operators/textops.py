@@ -64,12 +64,54 @@ def simhash64(tokens: list[str]) -> int:
     return int(sim.astype(np.int64).view(np.int64))
 
 
+def simhash_batch(texts: pd.Series) -> np.ndarray:
+    """Whole-Arrow-batch SimHash: tokenize every doc, flatten all tokens,
+    ONE hash_matrix pass per distinct token byte-length over the entire
+    batch, then segment-reduce the +-1 bit votes back to docs with
+    np.add.reduceat.  Identical output to simhash64 per doc, with no
+    per-document Python loop in the hashing or voting."""
+    h = _hasher()
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    toks_per_doc = [t.split() if isinstance(t, str) else [] for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    flat = [tok.encode("utf-8") for toks in toks_per_doc for tok in toks]
+    hashes = np.zeros(total, dtype=np.uint64)
+    by_len: dict[int, list[int]] = {}
+    for i, k in enumerate(flat):
+        by_len.setdefault(len(k), []).append(i)
+    for length, idxs in by_len.items():
+        ia = np.asarray(idxs)
+        mat = np.frombuffer(b"".join(flat[i] for i in idxs), dtype=np.uint8).reshape(
+            len(ia), length
+        )
+        hashes[ia] = h.hash_matrix(mat)
+    nonempty = np.flatnonzero(counts > 0)
+    starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+    sims = np.zeros(len(nonempty), dtype=np.uint64)
+    # bit-plane chunks of 16 keep the vote matrix at 64 B/token peak
+    for lo in range(0, 64, 16):
+        shifts = np.arange(lo, lo + 16, dtype=np.uint64)[None, :]
+        bits = (
+            2 * ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1
+        )
+        votes = np.add.reduceat(bits, starts, axis=0)  # (docs, 16)
+        sims |= (
+            (votes > 0).astype(np.uint64) << shifts
+        ).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sims.view(np.int64)
+    return out
+
+
 def simhash_udf():
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64(t.split()) if isinstance(t, str) else 0)
+        return pd.Series(simhash_batch(texts))
 
     return _simhash
 

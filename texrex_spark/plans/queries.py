@@ -869,7 +869,12 @@ def q_ann_topk(spark, sf_dir):
 @_register(
     "q_embedding_neardup",
     """
-    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    twin AS (
+      SELECT vec_id + 1000 AS vec_id,
+             list_transform(embedding, x -> x + 0.02) AS embedding
+      FROM base
+    ), sub AS (SELECT * FROM base UNION ALL SELECT * FROM twin)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
@@ -877,11 +882,19 @@ def q_ann_topk(spark, sf_dir):
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection over a bounded slice
-    (the exact kernel the LSH path prunes candidates for)."""
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(
+    """Embedding-cosine near-duplicate detection (the exact kernel the LSH
+    path prunes candidates for).  The fixture plants a +0.02-shifted twin
+    of every base vector (cos ~ 0.988 vs a 0.41 max among non-twins), so
+    the oracle's expected set is 100 NON-EMPTY pairs — a 0-rows-vs-0-rows
+    pass here would certify nothing."""
+    base = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    twin = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.02)).alias("v"),
+    )
+    emb = base.unionByName(twin)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
