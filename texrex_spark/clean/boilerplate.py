@@ -180,6 +180,8 @@ def div_features(
 
 _SIGMOID = {3, 4}  # FANN_SIGMOID, FANN_SIGMOID_STEPWISE
 _SYMMETRIC = {5, 6}  # FANN_SIGMOID_SYMMETRIC(+STEPWISE)
+_LINEAR_PIECE = 12  # clip(x*s, 0, 1)
+_LINEAR_PIECE_SYMMETRIC = 13  # clip(x*s, -1, 1) — the shipped nets' output
 
 
 class FannNet:
@@ -253,6 +255,10 @@ class FannNet:
             return 1.0 / (1.0 + np.exp(-2.0 * steep * x))
         if code in _SYMMETRIC:
             return np.tanh(steep * x)
+        if code == _LINEAR_PIECE:
+            return np.clip(x * steep, 0.0, 1.0)
+        if code == _LINEAR_PIECE_SYMMETRIC:
+            return np.clip(x * steep, -1.0, 1.0)
         return x * steep  # linear
 
     def run(self, features: np.ndarray) -> np.ndarray:

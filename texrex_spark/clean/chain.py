@@ -52,6 +52,9 @@ class ChainConfig:
     boilerplate_net: FannNet | None = None
     boilerplate: BoilerplateConfig = field(default_factory=BoilerplateConfig)
     drop_boilerplate_spans: bool = False  # exclude score>threshold divs from spans
+    # utf8.norm-style replacement pairs (trnormalizer.pas:186-226); load the
+    # reference's shipped table with refdata.load_norm_table()
+    norm_replacements: list[tuple[str, str]] | None = None
 
 
 @dataclass
@@ -130,7 +133,7 @@ def clean_document(
         fp = shingle.fingerprint_signed(ttd.tokens, hashes=cfg.shingle_hashes)
 
     # 10-11. normalizer + NFC
-    normalize.normalize_divs(res.divs)
+    normalize.normalize_divs(res.divs, cfg.norm_replacements)
     normalize.nfc_divs(res.divs)
 
     # 12. in-document div dedup
@@ -244,6 +247,61 @@ def clean_docs(docs_df, config: ChainConfig | None = None):
             yield pd.DataFrame(rows)
 
     return docs_df.mapInPandas(work, CLEAN_SCHEMA)
+
+
+DIVSTATS_SCHEMA = (
+    CLEAN_SCHEMA
+    + ", div_stats array<struct<container:string,valid:boolean,dup_of:int,"
+    "boilerplate_score:double,open_tags:int,close_tags:int,anchors:int>>"
+)
+
+
+def clean_docs_full(docs_df, config: ChainConfig | None = None):
+    """clean_docs + per-div diagnostics (container, validity, dup back-ref,
+    boilerplate score, tag/anchor counters) — the columns the
+    deboilerplater/div-dedup oracle queries check."""
+    import pandas as pd
+
+    cfg = config or ChainConfig()
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, url, raw in zip(pdf["doc_id"], pdf["url"], pdf["raw_html"]):
+                r = clean_document(str(doc_id), url, raw, cfg)
+                rows.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "url": r.url,
+                        "valid": r.valid,
+                        "spans": [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in r.spans
+                        ],
+                        "links": list(r.links),
+                        "meta": r.meta,
+                        "language": r.language,
+                        "badness": float(r.badness),
+                        "killed_by": r.killed_by,
+                        "fingerprint": r.fingerprint,
+                        "token_count": r.token_count,
+                        "div_stats": [
+                            (
+                                d["container"],
+                                d["valid"],
+                                d["dup_of"],
+                                float(d["boilerplate_score"]),
+                                d["open_tags"],
+                                d["close_tags"],
+                                d["anchors"],
+                            )
+                            for d in r.div_stats
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs_df.mapInPandas(work, DIVSTATS_SCHEMA)
 
 
 def stage_stats(cleaned_df):

@@ -14,6 +14,7 @@ Spark usage: ``hydra_udf`` over span text with the unigram table broadcast
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 import regex
 
 CANDIDATE_LEFT = regex.compile(r"^[-\p{L}]{2,}-$")

@@ -8,6 +8,7 @@ known words and neither is in the prefix/suffix ignore lists (:384-426).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 import regex
 
 CANDIDATE = regex.compile(r"(^|.*\P{L})(\p{L}{2,})([!?:.]+)(\p{L}{2,})(\P{L}.*|$)")

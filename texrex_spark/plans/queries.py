@@ -1013,3 +1013,410 @@ def q_geo_rangejoin_engine(spark, sf_dir):
         .groupBy("loc_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: reference-trained artifacts + template/VALUES oracles
+# (fixtures.py pattern: doc_id % K selects a template in BOTH engines; the
+# oracle embeds the pure-Python kernel's expected output as a VALUES table)
+# ---------------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal  # noqa: E402
+
+import pandas as pd  # noqa: E402,F401  (pandas_udf type-hint resolution)
+
+from .. import refdata  # noqa: E402
+from . import fixtures  # noqa: E402
+
+
+def _r4(x: float) -> float:
+    """HALF_UP 4-dp rounding matching Spark's F.round on doubles."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _tpl_docs(spark, sf_dir, k: int):
+    """documents -> (doc_id, tpl, doc_id-derived url, template raw_html)."""
+    docs = _t(spark, sf_dir, "documents")
+    tpl = (F.col("doc_id") % k).cast("int")
+    html = F.element_at(
+        F.array(*[F.lit(t) for t in fixtures.TEMPLATES[:k]]), tpl + 1
+    )
+    return docs.select(
+        F.col("doc_id"),
+        tpl.alias("tpl"),
+        F.concat(
+            F.lit("http://tpl"), tpl.cast("string"), F.lit(".example.com/x")
+        ).alias("url"),
+        html.alias("raw_html"),
+    )
+
+
+if refdata.available():
+    _CHAIN_SPAN_ROWS = [
+        (e["tpl"], off, text, e["valid"], e["language"], _r4(e["badness"]), e["killed_by"])
+        for e in fixtures.chain_expected()
+        for (text, off) in e["spans"]
+    ]
+
+    @_register(
+        "q_chain_refnet",
+        f"""
+        SELECT d.doc_id, e.off AS offset, e.text, e.valid, e.language,
+               e.badness, e.killed_by
+        FROM documents d
+        JOIN {fixtures.sql_values(_CHAIN_SPAN_ROWS, ["tpl", "off", "text", "valid", "language", "badness", "killed_by"])}
+          ON d.doc_id % {fixtures.N_TEMPLATES} = e.tpl
+        """,
+    )
+    def q_chain_refnet(spark, sf_dir):
+        """Full cleaning chain under the reference's DEFAULT job config —
+        trained boilerplate.iso.net, de|en|es|fr .prof profiles, utf8.norm
+        replacement table (data/texrex.ini:122-151,185).  Expected side =
+        the pure-Python kernel on the same templates, so this certifies the
+        distributed execution (Arrow transport, schema, partitioning) of
+        the trained-model chain, spans + language + badness + kill stage."""
+        from ..clean.chain import clean_docs
+
+        docs = _tpl_docs(spark, sf_dir, fixtures.N_TEMPLATES)
+        cleaned = clean_docs(
+            docs.select(F.col("doc_id").cast("string").alias("doc_id"), "url", "raw_html"),
+            fixtures.ref_chain_config(),
+        )
+        return cleaned.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode("spans").alias("s"),
+            "valid",
+            "language",
+            F.round("badness", 4).alias("badness"),
+            "killed_by",
+        ).select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.text").alias("text"),
+            "valid",
+            "language",
+            "badness",
+            "killed_by",
+        )
+
+    _BP_ROWS = [
+        (
+            e["tpl"], i, d["container"], d["valid"], d["dup_of"],
+            _r4(d["boilerplate_score"]),
+            bool(d["boilerplate_score"] > 0.55),
+        )
+        for e in fixtures.chain_expected()
+        for i, d in enumerate(e["div_stats"])
+    ]
+
+    @_register(
+        "q_boilerplate_refnet",
+        f"""
+        SELECT d.doc_id, e.div_idx, e.container, e.div_valid, e.dup_of,
+               e.bp_score, e.is_boilerplate
+        FROM documents d
+        JOIN {fixtures.sql_values(_BP_ROWS, ["tpl", "div_idx", "container", "div_valid", "dup_of", "bp_score", "is_boilerplate"])}
+          ON d.doc_id % {fixtures.N_TEMPLATES} = e.tpl
+        """,
+    )
+    def q_boilerplate_refnet(spark, sf_dir):
+        """Per-div deboilerplater output with the reference-trained FANN
+        net (trdeboilerplater.pas:619-699 decision at threshold 0.55,
+        texrex.ini:126) + in-doc div-dedup back-references — the trained
+        model's div classifications, engine vs kernel snapshot."""
+        from ..clean.chain import clean_docs_full
+
+        docs = _tpl_docs(spark, sf_dir, fixtures.N_TEMPLATES)
+        cleaned = clean_docs_full(
+            docs.select(F.col("doc_id").cast("string").alias("doc_id"), "url", "raw_html"),
+            fixtures.ref_chain_config(),
+        )
+        return cleaned.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.posexplode("div_stats").alias("div_idx", "d"),
+        ).select(
+            "doc_id",
+            "div_idx",
+            F.col("d.container").alias("container"),
+            F.col("d.valid").alias("div_valid"),
+            F.col("d.dup_of").alias("dup_of"),
+            F.round("d.boilerplate_score", 4).alias("bp_score"),
+            (F.col("d.boilerplate_score") > 0.55).alias("is_boilerplate"),
+        )
+
+
+@_register(
+    "q_hydra",
+    f"""
+    SELECT d.doc_id, e.fixed
+    FROM documents d
+    JOIN {fixtures.sql_values(fixtures.hydra_expected(), ["tpl", "fixed"])}
+      ON d.doc_id % {len(fixtures.HYDRA_LINES)} = e.tpl
+    """,
+)
+def q_hydra(spark, sf_dir):
+    """HyDRA de-hyphenation (trhydraapplication.pas:419-536): unigram-
+    probability argmax over concat/merger/parts + German NN-compound
+    fallback, as a broadcast-table pandas UDF; engine vs kernel snapshot."""
+    from ..clean.hydra import Unigrams, hydra_udf
+
+    k = len(fixtures.HYDRA_LINES)
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(ln) for ln in fixtures.HYDRA_LINES]),
+            (F.col("doc_id") % k).cast("int") + 1,
+        ).alias("line"),
+    )
+    uni_bc = spark.sparkContext.broadcast(Unigrams(dict(fixtures.HYDRA_UNIGRAMS)))
+    return lines.select("doc_id", hydra_udf(uni_bc, german=True)(F.col("line")).alias("fixed"))
+
+
+@_register(
+    "q_rofl",
+    f"""
+    SELECT d.doc_id, e.fixed
+    FROM documents d
+    JOIN {fixtures.sql_values(fixtures.rofl_expected(), ["tpl", "fixed"])}
+      ON d.doc_id % {len(fixtures.ROFL_LINES)} = e.tpl
+    """,
+)
+def q_rofl(spark, sf_dir):
+    """rofl run-together sentence fix (trroflapplication.pas:117,384-426):
+    split after [!?:.] when both halves are known words and not in the
+    prefix/suffix ignore lists; engine vs kernel snapshot."""
+    from ..clean.rofl import rofl_udf
+
+    k = len(fixtures.ROFL_LINES)
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(ln) for ln in fixtures.ROFL_LINES]),
+            (F.col("doc_id") % k).cast("int") + 1,
+        ).alias("line"),
+    )
+    sc = spark.sparkContext
+    words_bc = sc.broadcast(set(fixtures.ROFL_WORDS))
+    pre_bc = sc.broadcast(set(fixtures.ROFL_PREFIX_IGNORE))
+    suf_bc = sc.broadcast(set(fixtures.ROFL_SUFFIX_IGNORE))
+    return lines.select(
+        "doc_id", rofl_udf(words_bc, pre_bc, suf_bc)(F.col("line")).alias("fixed")
+    )
+
+
+@_register(
+    "q_charset_convert",
+    f"""
+    SELECT d.doc_id, e.text, e.charset
+    FROM documents d
+    JOIN {fixtures.sql_values(fixtures.charset_expected(), ["tpl", "text", "charset"])}
+      ON d.doc_id % {len(fixtures.CHARSET_CASES)} = e.tpl
+    """,
+)
+def q_charset_convert(spark, sf_dir):
+    """Charset conversion (trcharsetconverter.pas:93-147): declared wins,
+    ISO-8859-1 -> Windows-1252 override, 32KB-clamped detection fallback;
+    engine (Arrow-batched UDF over raw bytes) vs kernel snapshot."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..clean.charset import to_utf8
+
+    cases = fixtures.CHARSET_CASES
+    k = len(cases)
+
+    @pandas_udf("struct<text:string,charset:string>")
+    def conv(ks: pd.Series) -> pd.DataFrame:
+        rows = [to_utf8(cases[int(i)][1], cases[int(i)][0]) for i in ks]
+        return pd.DataFrame(rows, columns=["text", "charset"])
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", conv((F.col("doc_id") % k).cast("int")).alias("c")
+    ).select("doc_id", F.col("c.text").alias("text"), F.col("c.charset").alias("charset"))
+
+
+@_register(
+    "q_warc_roundtrip",
+    f"""
+    SELECT 'http://w' || CAST(i % 37 AS VARCHAR) || '.example.com/p/' ||
+             CAST(i AS VARCHAR) AS url,
+           'utf-8' AS charset,
+           CAST(1000 + (i * 137) % 4000 AS INT) AS body_size
+    FROM (SELECT unnest(generate_series(0, {fixtures.WARC_N_RECORDS - 1})) AS i)
+    WHERE 1000 + (i * 137) % 4000 BETWEEN {fixtures.WARC_MIN} AND {fixtures.WARC_MAX}
+    """,
+)
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingestion (trreader.pas:236-305,423-517): binaryFile +
+    mapInPandas segmentation, header extraction (URI/charset), and the
+    min/max doc-size window — read back a deterministic WARC file and
+    check every surviving record against the generating formula."""
+    import tempfile
+
+    from ..sources.warc import read_warc
+
+    path = f"{tempfile.gettempdir()}/texrex_warc_fixture.warc"
+    fixtures.build_warc_fixture(path)
+    return read_warc(spark, path, fixtures.WARC_MIN, fixtures.WARC_MAX).select(
+        "url",
+        "charset",
+        F.octet_length("raw_html").cast("int").alias("body_size"),
+    )
+
+
+_XML_ENC_SQL = (
+    "replace(replace(replace(replace(replace({0}, '&', '&amp;'), "
+    "'\"', '&quot;'), '''', '&apos;'), '<', '&lt;'), '>', '&gt;')"
+)
+
+
+@_register(
+    "q_xml_export",
+    f"""
+    WITH src AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             'http://x' || CAST(doc_id AS VARCHAR) || '.example.com/p?a=1&b=2' AS url,
+             'x' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+             'Q&A "' || CAST(doc_id AS VARCHAR) || '" <report>' AS title,
+             CAST(doc_id % 9 AS DOUBLE) AS badness,
+             text,
+             'img/' || CAST(doc_id AS VARCHAR) || '.jpg' AS media_ref
+      FROM documents
+    )
+    SELECT id AS doc_id,
+           '<doc url="' || {_XML_ENC_SQL.format("url")} ||
+           '" id="' || {_XML_ENC_SQL.format("id")} ||
+           '" bdc="' || chr(CAST(round(badness / 2) AS INT) + 97) ||
+           '" bdv="' || CAST(round(badness, 4) AS VARCHAR) ||
+           '" host="' || {_XML_ENC_SQL.format("host")} ||
+           '" tld="com">' || chr(10) ||
+           '<meta name="title" content="' || {_XML_ENC_SQL.format("title")} || '" />' ||
+           '<div idx="0">' || {_XML_ENC_SQL.format("text")} || '</div>' || chr(10) ||
+           '<media idx="1" src="' || media_ref || '" />' || chr(10) ||
+           '</doc>' AS xml
+    FROM src
+    """,
+)
+def q_xml_export(spark, sf_dir):
+    """XML corpus sink (TrWriteXmlDoc, trwritetools.pas:81-271): doc/meta
+    attribute projection, TrXmlEncode entity encoding in the reference's
+    replacement order (trutilities.pas:910-921), TrBadnessToBdc grade chars
+    (:965-968), interleaved text+media spans — assembled entirely in
+    Catalyst by operators/export.xml_corpus, vs a DuckDB restatement."""
+    from ..operators.export import xml_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    cleaned = docs.select(
+        ds.alias("doc_id"),
+        F.concat(F.lit("http://x"), ds, F.lit(".example.com/p?a=1&b=2")).alias("url"),
+        F.lit(True).alias("valid"),
+        (F.col("doc_id") % 9).cast("double").alias("badness"),
+        F.create_map(
+            F.lit("host"), F.concat(F.lit("x"), ds, F.lit(".example.com")),
+            F.lit("tld"), F.lit("com"),
+            F.lit("title"), F.concat(F.lit('Q&A "'), ds, F.lit('" <report>')),
+        ).alias("meta"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"), F.lit("").alias("text"),
+                F.concat(F.lit("img/"), ds, F.lit(".jpg")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return xml_corpus(cleaned)
+
+
+@_register(
+    "q_cowinterleave",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             'l1' || chr(10) || text || chr(9) || 'end' AS t0,
+             'img/' || CAST(doc_id AS VARCHAR) || '.png' AS m1
+      FROM documents
+    )
+    SELECT doc_id, 0 AS offset,
+           replace(replace(t0, chr(10), '<ci_l/>'), chr(9), '<ci_t/>') AS line
+    FROM src
+    UNION ALL
+    SELECT doc_id, 1 AS offset, '<media ' || m1 || '/>' AS line FROM src
+    """,
+)
+def q_cowinterleave(spark, sf_dir):
+    """cowinterleave (trcowinterleaveapplication.pas:171-173,258-322):
+    span-per-line flattening with <ci_l/>/<ci_t/> placeholders so each
+    record is self-contained (shuffle-safe); media spans interleave as
+    <media .../> lines."""
+    from ..operators.export import cowinterleave
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    cleaned = docs.select(
+        "doc_id",
+        F.lit(True).alias("valid"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("l1\n"), F.col("text"), F.lit("\tend")).alias("text"),
+                F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"), F.lit("").alias("text"),
+                F.concat(F.lit("img/"), ds, F.lit(".png")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return cowinterleave(cleaned)
+
+
+@_register(
+    "q_simple_filter",
+    """
+    WITH spans AS (
+      SELECT doc_id,
+             [text,
+              CASE WHEN doc_id % 3 = 0 THEN '' ELSE substr(text, 1, 50) END]
+               AS divs
+      FROM documents
+    )
+    SELECT doc_id,
+           (len(list_filter(divs, x -> x != '')) >= 2 AND
+            CAST(list_sum(list_transform(list_filter(divs, x -> x != ''),
+                 x -> strlen(x))) AS BIGINT) >= 200) AS passes
+    FROM spans
+    """,
+)
+def q_simple_filter(spark, sf_dir):
+    """Simple document filter (trsimpledocumentfilter.pas:81-89): kill when
+    valid UTF-8 mass < size threshold or valid div count < div threshold —
+    evaluated by the JVM-side valid_col over a spans array."""
+    from ..clean.simplefilter import valid_col
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"), F.col("text").alias("text"),
+            F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+                F.substring("text", 1, 50)
+            ).alias("text"),
+            F.lit("").alias("media_ref"), F.lit(1).alias("offset"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        valid_col(spans, size_threshold=200, div_threshold=2).alias("passes"),
+    )
