@@ -125,3 +125,58 @@ def test_frontier_politeness_budget(spark, corpus, tmp_path):
     # admitted in priority order with spaced fetch times
     assert [r["priority"] for r in got] == [0, 1, 2, 3, 4]
     assert [r["fetch_time"] for r in got] == [0, 10, 20, 30, 40]
+
+
+def test_snapshot_resume_equivalence(spark, corpus, tmp_path):
+    """Kill-and-resume (north rule: 'resumable from snapshot checkpoints'):
+    a 4-round crawl must equal 2 rounds + snapshot + resume + 2 rounds —
+    identical fetched set, frontier, host state, and seen-set stats."""
+    docs = synth.docs_df(spark, corpus)
+    robots = synth.robots_df(spark, corpus)
+    seeds = synth.seeds_df(spark, corpus).select(
+        F.col("url"), F.col("seed_idx").cast("long").alias("priority")
+    )
+    cfg = lambda: FrontierConfig(  # noqa: E731
+        seen_partitions=4, bloom_error_rate=1e-4, round_seconds=100,
+        frontier_cap=10_000, snapshot_every=1,
+    )
+
+    ref = FrontierScheduler(spark, cfg(), str(tmp_path / "ref"))
+    ref_out = ref.run(seeds, docs, robots, rounds=4)
+    ref_fetched = sorted(
+        (r["round"], r["url_norm"]) for r in ref_out["fetched"].collect()
+    )
+    ref_frontier = sorted(r["url_norm"] for r in ref_out["frontier"].collect())
+    ref_hosts = sorted(
+        (r["host"], r["last_access"]) for r in ref_out["host_state"].collect()
+    )
+
+    # run 2 rounds, "crash", resume in a NEW scheduler over the same dirs
+    first = FrontierScheduler(spark, cfg(), str(tmp_path / "res"))
+    first.run(seeds, docs, robots, rounds=2)
+    assert first.catalog.latest_id() == 2
+
+    second = FrontierScheduler(spark, cfg(), str(tmp_path / "res"))
+    state = second.resume()
+    assert state is not None and state["start_round"] == 2
+    out2 = second.run(
+        seeds=None, docs=docs, robots=robots, rounds=2,
+        resume_frontier=state["frontier"], host_state=state["host_state"],
+        now=state["now"], start_round=state["start_round"],
+    )
+    res_fetched = sorted(
+        (r["round"], r["url_norm"]) for r in out2["fetched"].collect()
+    )
+    ref_tail = [x for x in ref_fetched if x[0] >= 2]
+    assert res_fetched == ref_tail
+    assert sorted(r["url_norm"] for r in out2["frontier"].collect()) == ref_frontier
+    assert (
+        sorted((r["host"], r["last_access"]) for r in out2["host_state"].collect())
+        == ref_hosts
+    )
+    # seen-set adds identical across the two histories
+    assert second.seen.stats()["adds"] == ref.seen.stats()["adds"]
+
+    # time travel: snapshot 2's manifest still addressable after 4 commits
+    m2 = second.catalog.manifest(2)
+    assert m2["round"] == 1 and m2["extra"]["next_round"] == 2

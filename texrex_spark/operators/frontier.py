@@ -50,6 +50,7 @@ from ..functions import urlnorm
 from .politeness import admit, advance_host_state
 from .robots import gate_frontier
 from .seenset import PartitionedSeenSet
+from .snapshots import SnapshotCatalog
 
 
 def cap_by_priority(
@@ -91,6 +92,7 @@ class FrontierConfig:
     frontier_cap: int = 1_000_000
     cap_buckets: int = 256
     max_depth: int = 6
+    snapshot_every: int = 0  # 0 = off; N = atomic snapshot every N rounds
     min_link_len: int = 16
     max_link_len: int = 1024
     use_external_links: bool = True
@@ -112,6 +114,28 @@ class FrontierScheduler:
             partitions=self.config.seen_partitions,
             error_rate=self.config.bloom_error_rate,
         )
+        self.catalog: SnapshotCatalog | None = (
+            SnapshotCatalog(os.path.join(self.work_dir, "snapshots"))
+            if self.config.snapshot_every > 0
+            else None
+        )
+
+    def resume(self) -> dict | None:
+        """Resume from the latest committed snapshot: restores the
+        seen-set's bucket bitmaps to the pinned round and returns the
+        carried state, or None when no snapshot exists.  Pass the returned
+        pieces to ``run(resume_frontier=..., host_state=..., now=...,
+        start_round=...)``."""
+        if self.catalog is None or self.catalog.latest_id() is None:
+            return None
+        m = self.catalog.manifest()
+        self.catalog.restore_seen(None, self.seen.dir)
+        return {
+            "frontier": self.catalog.read(self.spark, "frontier"),
+            "host_state": self.catalog.read(self.spark, "host_state"),
+            "now": m["extra"]["now"],
+            "start_round": m["extra"]["next_round"],
+        }
 
     # -- stage builders ---------------------------------------------------
 
@@ -192,9 +216,13 @@ class FrontierScheduler:
         collect_fetched: bool = True,
         host_state: DataFrame | None = None,
         now: int = 0,
+        resume_frontier: DataFrame | None = None,
+        start_round: int = 0,
     ) -> dict[str, DataFrame]:
         """host_state/now allow re-entering the loop with carried politeness
-        state (checkpoint resume; the streaming foreachBatch driver)."""
+        state (checkpoint resume; the streaming foreachBatch driver);
+        resume_frontier/start_round re-enter mid-crawl from a snapshot
+        (``resume()``) — the frontier is already canonicalized then."""
         cfg = self.config
         fetch_table = self.prepare_docs(docs).persist()
         fetch_table.count()
@@ -204,7 +232,10 @@ class FrontierScheduler:
         # doubles per round and the planner itself OOMs.  On a cluster with
         # reliable checkpointing requirements this becomes a parquet/Iceberg
         # snapshot write per round (same shape as _snapshot()).
-        frontier = self.candidates_from(seeds).localCheckpoint(eager=True)
+        if resume_frontier is not None:
+            frontier = resume_frontier.localCheckpoint(eager=True)
+        else:
+            frontier = self.candidates_from(seeds).localCheckpoint(eager=True)
         if host_state is None:
             host_state = self.spark.createDataFrame(
                 [], "host string, last_access long, crawl_delay int"
@@ -214,7 +245,7 @@ class FrontierScheduler:
         )
         fetched_parts: list[DataFrame] = []
 
-        for rnd in range(rounds):
+        for rnd in range(start_round, start_round + rounds):
             t0 = time.time()
 
             unseen = self.seen.probe(frontier, dedup_round=True).where(
@@ -308,6 +339,13 @@ class FrontierScheduler:
             now += cfg.round_seconds
 
             self.seen.commit_round(rnd, {"metrics": self.metrics})
+            if self.catalog is not None and (rnd + 1) % cfg.snapshot_every == 0:
+                self.catalog.commit(
+                    {"frontier": frontier, "host_state": host_state},
+                    round_no=rnd,
+                    extra={"now": now, "next_round": rnd + 1},
+                    seen_dir=self.seen.dir,
+                )
             if n_frontier == 0:
                 break
 
