@@ -47,6 +47,8 @@ CONTAINER_TYPES = {
 TAG_START_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ/!?")
 WHITESPACE = {"\t", "\n", "\r", " "}
 
+_WS_RUN = re.compile(r"[\t\n\r ]+")
+_ATTR_DELIM = re.compile(r"[>'\"]")
 _HREF_RE = re.compile(r'href=["\']([^"\' ]+)["\']', re.IGNORECASE)
 _SRC_RE = re.compile(r'src=["\']([^"\' ]+)["\']', re.IGNORECASE)
 _ENCODING_RE = re.compile(r'<meta[^<]+charset=([^ ">/]+)[ ">/]', re.IGNORECASE)
@@ -120,6 +122,21 @@ def strip_document(raw: str, url: str, config: StripperConfig | None = None) -> 
             if cur.text and cur.text[-1] not in WHITESPACE:
                 cur.text += " "
 
+    def write_text(chunk: str) -> None:
+        """Bulk equivalent of write_char over a tag-free text chunk:
+        whitespace runs collapse to single spaces, and a leading run is
+        dropped when the div is empty or already ends in a space (write_char
+        only ever emits ' ' as whitespace, so endswith-' ' is the full
+        invariant)."""
+        nonlocal cur
+        if cur is None or not chunk:
+            return
+        s = _WS_RUN.sub(" ", chunk)
+        if s[0] == " " and (not cur.text or cur.text[-1] == " "):
+            s = s[1:]
+        if s:
+            cur.text += s
+
     def new_div(tag: str) -> None:
         nonlocal cur, skipped
         if cur is None:
@@ -150,61 +167,101 @@ def strip_document(raw: str, url: str, config: StripperConfig | None = None) -> 
     def advance_to_next_tag() -> str:
         """Scan to the end of the next tag, writing text chars on the way.
 
-        Returns the lowercased tag name ('' at EOF)."""
+        Returns the lowercased tag name ('' at EOF).
+
+        Structured as three bulk jumps instead of a per-character loop
+        (the round-1 char state machine is the semantic oracle; the
+        golden-corpus tests gate this rewrite):
+        - SEARCH: str.find('<') + chunked whitespace-collapse write
+        - READ:   per-char only across the (short) tag name
+        - SKIP:   attribute scan jumping between quote/'>' delimiters
+        """
         nonlocal pos, cur
         tag = ""
-        state = "searching"
-        quot = None
         anchor_start = -1
-        last_tag_pos = -1
-        while pos < n and state != "done":
-            ch = raw[pos]
-            if state == "searching":
-                if ch == "<":
-                    state = "reading"
-                    last_tag_pos = pos
-                elif reading == "text":
-                    write_char(ch)
-            elif state == "reading":
+        done = False
+        while pos < n and not done:
+            # -- SEARCH: bulk-jump to the next '<', writing the text chunk
+            idx = raw.find("<", pos)
+            if idx < 0:
+                if reading == "text":
+                    write_text(raw[pos:])
+                pos = n
+                break
+            if reading == "text" and idx > pos:
+                write_text(raw[pos:idx])
+            last_tag_pos = idx
+            pos = idx + 1
+            tag = ""
+            reverted = False
+            # -- READ: accumulate the tag name (short; per-char)
+            while pos < n:
+                ch = raw[pos]
                 if tag == "!--":
-                    # fast-forward comment
+                    # fast-forward comment (pos arithmetic identical to the
+                    # char machine: set end+2 / n-1, then the +1 step)
                     end = raw.find("-->", pos)
-                    pos = n - 1 if end < 0 else end + 2
-                    state = "done"
-                elif tag.lower() == "![cdata[":
+                    pos = (n - 1 if end < 0 else end + 2) + 1
+                    done = True
+                    break
+                if tag.lower() == "![cdata[":
                     end = raw.find("]]>", pos)
-                    pos = n - 1 if end < 0 else end + 2
-                    state = "done"
-                elif ch == " ":
-                    state = "skipping"
+                    pos = (n - 1 if end < 0 else end + 2) + 1
+                    done = True
+                    break
+                if ch == " ":
                     if tag in ("a", "img"):
                         anchor_start = pos
-                elif ch == ">":
-                    state = "done"
-                elif pos == last_tag_pos + 1 and ch not in TAG_START_CHARS:
+                    pos += 1
+                    # -- SKIP: quote-aware attribute scan, jump-based
+                    quot = None
+                    while pos < n:
+                        if quot is not None:
+                            q = raw.find(quot, pos)
+                            if q < 0:
+                                pos = n
+                                break
+                            pos = q + 1
+                            quot = None
+                            continue
+                        m = _ATTR_DELIM.search(raw, pos)
+                        if m is None:
+                            pos = n
+                            break
+                        c = m.group(0)
+                        if c == ">":
+                            gt = m.start()
+                            if cfg.extract_anchors and tag == "a" and anchor_start >= 0:
+                                _extract_link(raw[anchor_start:gt])
+                            if cfg.extract_media and tag == "img" and reading == "text":
+                                _extract_media(
+                                    raw[anchor_start if anchor_start >= 0 else gt:gt]
+                                )
+                            pos = gt + 1
+                            break
+                        quot = c
+                        pos = m.start() + 1
+                    done = True
+                    break
+                if ch == ">":
+                    pos += 1
+                    done = True
+                    break
+                if pos == last_tag_pos + 1 and ch not in TAG_START_CHARS:
                     # literal '<' revert (§315-329)
-                    state = "searching"
                     if reading == "text":
                         write_char(raw[pos - 1])
                         write_char(ch)
                     tag = ""
-                else:
-                    tag += ch
-            elif state == "skipping":
-                if quot is None:
-                    if ch == "'":
-                        quot = "'"
-                    elif ch == '"':
-                        quot = '"'
-                    elif ch == ">":
-                        state = "done"
-                        if cfg.extract_anchors and tag == "a" and anchor_start >= 0:
-                            _extract_link(raw[anchor_start:pos])
-                        if cfg.extract_media and tag == "img" and reading == "text":
-                            _extract_media(raw[anchor_start if anchor_start >= 0 else pos:pos])
-                elif ch == quot:
-                    quot = None
-            pos += 1
+                    pos += 1
+                    reverted = True
+                    break
+                tag += ch
+                pos += 1
+            if reverted:
+                continue
+            if not done:
+                break  # EOF mid-tag: fall through with the partial tag
 
         # media needs the attribute text even when anchor_start wasn't set
         tag = tag.lower()

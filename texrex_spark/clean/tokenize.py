@@ -31,6 +31,14 @@ _LETTER_SET: set[int] = set()
 for lo, hi in LETTER_RANGES:
     _LETTER_SET.update(range(lo, hi + 1))
 
+# regex fast path: one character class == the range set; maximal runs of
+# class members are exactly the per-char walker's tokens
+import re  # noqa: E402
+
+_TOKEN_RE = re.compile(
+    "[" + "".join(f"{re.escape(chr(lo))}-{re.escape(chr(hi))}" for lo, hi in LETTER_RANGES) + "]+"
+)
+
 
 @dataclass
 class TypeTokenData:
@@ -54,17 +62,7 @@ class TokenizerConfig:
 
 
 def tokenize_text(text: str) -> list[str]:
-    tokens: list[str] = []
-    cur: list[str] = []
-    for ch in text:
-        if ord(ch) in _LETTER_SET:
-            cur.append(ch)
-        elif cur:
-            tokens.append("".join(cur).upper())
-            cur = []
-    if cur:
-        tokens.append("".join(cur).upper())
-    return tokens
+    return [t.upper() for t in _TOKEN_RE.findall(text)]
 
 
 def tokenize_divs(divs: list[Div], cfg: TokenizerConfig | None = None) -> TypeTokenData:

@@ -64,9 +64,35 @@ class Rabin64:
     def __init__(self, poly: int):
         self.poly = poly
         self.tables = _build_tables(poly)
+        # scalar fast path: plain-int tables.  The numpy kernel pays ~1 ms
+        # of array setup per call, which swamps single-key hashing (the
+        # div-dedup loop hashes one short string at a time); Python-int
+        # table lookups do the same hash in a few microseconds.
+        self._pytables = self.tables.tolist()
 
     def hash(self, data: bytes) -> int:
-        return int(self.hash_matrix(np.frombuffer(data, dtype=np.uint8)[None, :])[0])
+        """Single-key hash, bit-identical to hash_matrix (differentially
+        tested) but scalar: starter bytes then 8-byte big-endian blocks
+        (trrabinhash.pas:207-250)."""
+        tab = self._pytables
+        w = 0
+        length = len(data)
+        starter = length % 8
+        for i in range(starter):
+            w = ((w << 8) ^ data[i]) & 0xFFFFFFFFFFFFFFFF
+        for block in range(starter, length, 8):
+            shifted = (
+                tab[0][w & 0xFF]
+                ^ tab[1][(w >> 8) & 0xFF]
+                ^ tab[2][(w >> 16) & 0xFF]
+                ^ tab[3][(w >> 24) & 0xFF]
+                ^ tab[4][(w >> 32) & 0xFF]
+                ^ tab[5][(w >> 40) & 0xFF]
+                ^ tab[6][(w >> 48) & 0xFF]
+                ^ tab[7][(w >> 56) & 0xFF]
+            )
+            w = shifted ^ int.from_bytes(data[block : block + 8], "big")
+        return w
 
     def hash_matrix(self, mat: np.ndarray) -> np.ndarray:
         """Hash a (n, L) uint8 matrix of n equal-length keys -> (n,) uint64."""
