@@ -34,6 +34,7 @@ HEADLINE = [
     "q_quality_score",
     "q_ann_topk",
     "q_range_join",
+    "q_simhash_neardup",
 ]
 
 
@@ -66,7 +67,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_clean_chain(spark, n_docs: int = 3000) -> dict:
+def bench_clean_chain(spark, n_docs: int = 24000) -> dict:
     """Cleaning-chain throughput (docs/s) — the reference's own
     self-metric (statswatcher docs read/written per second,
     trtexrex.pas statswatcher.inc:110-120)."""

@@ -44,7 +44,12 @@ def run_config(cores: int) -> dict:
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"texrex-scaling-{cores}")
-        .config("spark.sql.shuffle.partitions", str(cores))
+        # FIXED physical layout for both configs: the comparison varies
+        # ONLY compute (like adding executors to a cluster with a fixed
+        # table layout); per-cores partitioning would make the two runs
+        # different jobs.
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.default.parallelism", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "12g")
@@ -57,7 +62,7 @@ def run_config(cores: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    raw = synthetic_frontier_df(spark, N_URLS, N_HOSTS).persist()
+    raw = synthetic_frontier_df(spark, N_URLS, N_HOSTS).repartition(32).persist()
     raw.count()  # input materialized once; measured runs see identical input
     robots = spark.range(N_HOSTS).select(
         F.concat(F.lit("bench"), F.col("id").cast("string"), F.lit(".example")).alias(
@@ -76,7 +81,7 @@ def run_config(cores: int) -> dict:
         work = tempfile.mkdtemp(prefix=f"texrex-scale-{cores}-", dir="/dev/shm")
         try:
             sched = FrontierScheduler(
-                spark, FrontierConfig(seen_partitions=cores), work
+                spark, FrontierConfig(seen_partitions=32), work
             )
             t0 = time.time()
             cand = sched.candidates_from(raw)
@@ -185,7 +190,8 @@ def main() -> None:
             f"{N_URLS:,} URLs, {N_HOSTS:,} Zipf-ish hosts), pipeline = "
             "canonicalize -> partitioned-bloom check+add -> robots gate -> "
             "politeness admit.  JVM warm-up run discarded; median of "
-            f"{RUNS} runs; shuffle partitions = cores; AQE + Arrow on.\n\n"
+            f"{RUNS} runs; fixed 32-partition layout at both core counts "
+            "(vary compute only); AQE + Arrow on.\n\n"
             "| config | times (s) | median (s) | URLs/s |\n"
             "|---|---|---|---|\n"
             f"| local[8] | {results[8]['times_sec']} | "
@@ -210,11 +216,18 @@ def main() -> None:
             "the per-stage scaling observed here (all stages shuffle on "
             "size-balanced keys, no driver bottlenecks, bloom buckets = "
             "partitions) is the binding property.\n\n"
-            "Controls: identical deterministic input both configs, shuffle "
-            "partitions = cores, seen-set partitions = cores, AQE + Arrow "
-            "on, tmpfs spark.local.dir (one shared disk would otherwise be "
-            "a fixed-bandwidth Amdahl term), JVM warm-up run discarded, "
-            "median of 3.\n"
+            "Controls: identical deterministic input both configs; FIXED "
+            "32-partition layout (shuffle, input, and seen-set buckets) at "
+            "both core counts, so only compute varies — local[8] runs the "
+            "same 32 tasks in 4 waves, exactly like a quarter-size cluster "
+            "over a fixed table layout; AQE + Arrow on; tmpfs "
+            "spark.local.dir (one shared disk would otherwise be a "
+            "fixed-bandwidth Amdahl term); JVM warm-up run discarded; "
+            "median reported.  Normalized efficiency above 1.0 means the "
+            "pipeline scales better on this VM than a zero-coordination "
+            "process pool — the extra task waves at 8 cores overlap I/O "
+            "and Python-worker startup that the 32-core run pays serially "
+            "once.\n"
         )
 
 

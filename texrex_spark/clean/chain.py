@@ -71,11 +71,16 @@ class CleanResult:
     fingerprint: list[int] | None = None
     token_count: int = 0
     div_stats: list[dict] = field(default_factory=list)
+    tokens: list[str] | None = None  # only populated under defer_shingle
 
 
 def clean_document(
-    doc_id: str, url: str, raw_html: str, config: ChainConfig | None = None
+    doc_id: str, url: str, raw_html: str, config: ChainConfig | None = None,
+    defer_shingle: bool = False,
 ) -> CleanResult:
+    """defer_shingle=True skips the MinHash stage and returns the token
+    stream instead, so the Spark operator can shingle-hash a whole Arrow
+    batch at once (shingle.fingerprint_batch_signed, bit-identical)."""
     cfg = config or ChainConfig()
 
     # 1. strip (char state machine; also harvests links + header meta)
@@ -129,8 +134,12 @@ def clean_document(
 
     # 9. shingler (MinHash fingerprint)
     fp = None
+    deferred_tokens = None
     if cfg.use_shingler:
-        fp = shingle.fingerprint_signed(ttd.tokens, hashes=cfg.shingle_hashes)
+        if defer_shingle:
+            deferred_tokens = ttd.tokens
+        else:
+            fp = shingle.fingerprint_signed(ttd.tokens, hashes=cfg.shingle_hashes)
 
     # 10-11. normalizer + NFC
     normalize.normalize_divs(res.divs, cfg.norm_replacements)
@@ -195,6 +204,7 @@ def clean_document(
         fingerprint=fp,
         token_count=ttd.token_count,
         div_stats=div_stats,
+        tokens=deferred_tokens,
     )
 
 
@@ -224,8 +234,10 @@ def clean_docs(docs_df, config: ChainConfig | None = None):
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            token_streams: list[list[str]] = []
             for doc_id, url, raw in zip(pdf["doc_id"], pdf["url"], pdf["raw_html"]):
-                r = clean_document(str(doc_id), url, raw, cfg)
+                r = clean_document(str(doc_id), url, raw, cfg, defer_shingle=True)
+                token_streams.append(r.tokens or [])
                 rows.append(
                     {
                         "doc_id": r.doc_id,
@@ -240,10 +252,18 @@ def clean_docs(docs_df, config: ChainConfig | None = None):
                         "language": r.language,
                         "badness": float(r.badness),
                         "killed_by": r.killed_by,
-                        "fingerprint": r.fingerprint,
+                        "fingerprint": None,
                         "token_count": r.token_count,
                     }
                 )
+            if cfg.use_shingler and rows:
+                # one length-grouped Rabin pass over the WHOLE batch's
+                # shingles (bit-identical to per-doc; ~10x fewer numpy calls)
+                fps = shingle.fingerprint_batch_signed(
+                    token_streams, hashes=cfg.shingle_hashes
+                )
+                for row, fp in zip(rows, fps):
+                    row["fingerprint"] = fp
             yield pd.DataFrame(rows)
 
     return docs_df.mapInPandas(work, CLEAN_SCHEMA)
@@ -267,8 +287,10 @@ def clean_docs_full(docs_df, config: ChainConfig | None = None):
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            token_streams: list[list[str]] = []
             for doc_id, url, raw in zip(pdf["doc_id"], pdf["url"], pdf["raw_html"]):
-                r = clean_document(str(doc_id), url, raw, cfg)
+                r = clean_document(str(doc_id), url, raw, cfg, defer_shingle=True)
+                token_streams.append(r.tokens or [])
                 rows.append(
                     {
                         "doc_id": r.doc_id,
@@ -283,7 +305,7 @@ def clean_docs_full(docs_df, config: ChainConfig | None = None):
                         "language": r.language,
                         "badness": float(r.badness),
                         "killed_by": r.killed_by,
-                        "fingerprint": r.fingerprint,
+                        "fingerprint": None,
                         "token_count": r.token_count,
                         "div_stats": [
                             (
@@ -299,6 +321,12 @@ def clean_docs_full(docs_df, config: ChainConfig | None = None):
                         ],
                     }
                 )
+            if cfg.use_shingler and rows:
+                fps = shingle.fingerprint_batch_signed(
+                    token_streams, hashes=cfg.shingle_hashes
+                )
+                for row, fp in zip(rows, fps):
+                    row["fingerprint"] = fp
             yield pd.DataFrame(rows)
 
     return docs_df.mapInPandas(work, DIVSTATS_SCHEMA)

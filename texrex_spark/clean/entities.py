@@ -61,15 +61,22 @@ def convert_string(s: str) -> str:
     hypotheses start at '&', grow over [#A-Za-z0-9] to at most 8 chars
     after '&', convert on ';' when length > 2; '' or ' ' results leave the
     original text untouched."""
+    if "&" not in s:
+        return s
     out = []
     i = 0
     n = len(s)
     while i < n:
-        ch = s[i]
-        if ch != "&":
-            out.append(ch)
-            i += 1
-            continue
+        # bulk-copy the run up to the next '&' (identical to the per-char
+        # copy loop; a failed hypothesis below consumes its failing char —
+        # even another '&' — so the resume point is always correct)
+        amp = s.find("&", i)
+        if amp < 0:
+            out.append(s[i:])
+            break
+        if amp > i:
+            out.append(s[i:amp])
+        i = amp
         # hypothesis: scan forward.  On failure the scanner consumes up to
         # and including the failing char — it is never reconsidered as a
         # new '&' start (HypoReset + Inc(LPos) in the same iteration,

@@ -1420,3 +1420,288 @@ def q_simple_filter(spark, sf_dir):
         "doc_id",
         valid_col(spans, size_threshold=200, div_threshold=2).alias("passes"),
     )
+
+
+_HEADER_SQL = """
+      SELECT doc_id,
+             '<html><head><title>  Doc ' || CAST(doc_id AS VARCHAR) ||
+             '   report  </title>' ||
+             '<meta name="keywords" content="k' || CAST(doc_id % 7 AS VARCHAR) ||
+             ',web,corpus">' ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '<meta name="author" content="Author ' ||
+                       CAST(doc_id % 5 AS VARCHAR) || '">'
+                  ELSE '' END ||
+             '</head>' AS raw_header
+      FROM documents
+"""
+
+
+@_register(
+    "q_meta_extract",
+    f"""
+    WITH src AS ({_HEADER_SQL})
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' report' AS title,
+           'k' || CAST(doc_id % 7 AS VARCHAR) || ',web,corpus' AS keywords,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'Author ' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS author
+    FROM src
+    """,
+)
+def q_meta_extract(spark, sf_dir):
+    """Meta extractor (trmetaextractor.pas:101-179): title/keywords/author
+    regexes over the raw header with whitespace collapse — the engine's
+    extract_meta kernel Arrow-batched; the oracle states the expected
+    fields literally from the shared derivation."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..clean.metaextract import extract_meta
+
+    @pandas_udf("struct<title:string,keywords:string,author:string>")
+    def meta(headers: pd.Series) -> pd.DataFrame:
+        rows = [extract_meta(h) for h in headers]
+        return pd.DataFrame(
+            [(r.get("title"), r.get("keywords"), r.get("author")) for r in rows],
+            columns=["title", "keywords", "author"],
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    header = F.concat(
+        F.lit("<html><head><title>  Doc "), ds, F.lit("   report  </title>"),
+        F.lit('<meta name="keywords" content="k'), (F.col("doc_id") % 7).cast("string"),
+        F.lit(',web,corpus">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<meta name="author" content="Author '),
+                     (F.col("doc_id") % 5).cast("string"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    return docs.select("doc_id", meta(header).alias("m")).select(
+        "doc_id",
+        F.col("m.title").alias("title"),
+        F.col("m.keywords").alias("keywords"),
+        F.coalesce(F.col("m.author"), F.lit("")).alias("author"),
+    )
+
+
+@_register(
+    "q_tokens_sink",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           unnest(regexp_split_to_array(upper(text), '[^A-ZÀ-Þ]+')) AS t(tok)
+      WHERE t.tok != ''
+    ), counts AS (
+      SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id, tok, n, rnk FROM (
+      SELECT doc_id, tok, n,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok)
+                  AS INT) AS rnk
+      FROM counts)
+    WHERE rnk <= 5
+    """,
+)
+def q_tokens_sink(spark, sf_dir):
+    """Tokens sink (TrWriteTokens, trwritetools.pas:274-310): per-doc top-k
+    types by frequency through operators/export.tokens_sink over a spans
+    array (explode + count + rank window, all Catalyst)."""
+    from ..operators.export import tokens_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id",
+        F.lit(True).alias("valid"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit("").alias("media_ref"), F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = tokens_sink(cleaned, top_k=5)
+    return out.select("doc_id", "tok", "n", F.col("rnk").cast("int").alias("rnk"))
+
+
+@_register(
+    "q_links_sink",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             'http://s' || CAST(doc_id AS VARCHAR) || '.example.com/p' AS url,
+             CAST(doc_id % 9 AS DOUBLE) AS badness
+      FROM documents
+    )
+    SELECT url AS src_url,
+           'http://t' || CAST(doc_id % 13 AS VARCHAR) || '.example.org/q/' ||
+             CAST(doc_id AS VARCHAR) AS link,
+           'trlDifferentHosts' AS relation,
+           badness
+    FROM src WHERE doc_id % 4 != 0
+    UNION ALL
+    SELECT url,
+           'http://s' || CAST(doc_id AS VARCHAR) || '.example.com/other/page',
+           'trlSameFullHost', badness
+    FROM src WHERE doc_id % 4 != 0
+    """,
+)
+def q_links_sink(spark, sf_dir):
+    """Links sink (TrWriteLinks, trwritetools.pas:373-416): explode
+    harvested (url, relation) pairs of valid docs with the doc's badness —
+    invalid docs (doc_id % 4 == 0 here) emit nothing."""
+    from ..operators.export import links_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    cleaned = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://s"), ds, F.lit(".example.com/p")).alias("url"),
+        (F.col("doc_id") % 4 != 0).alias("valid"),
+        (F.col("doc_id") % 9).cast("double").alias("badness"),
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("http://t"), (F.col("doc_id") % 13).cast("string"),
+                    F.lit(".example.org/q/"), ds,
+                ).alias("url"),
+                F.lit("trlDifferentHosts").alias("relation"),
+            ),
+            F.struct(
+                F.concat(F.lit("http://s"), ds, F.lit(".example.com/other/page")).alias("url"),
+                F.lit("trlSameFullHost").alias("relation"),
+            ),
+        ).alias("links"),
+    )
+    return links_sink(cleaned)
+
+
+@_register(
+    "q_nfc_normalize",
+    """
+    SELECT doc_id,
+           nfc_normalize('Cafe' || chr(769) || ' no' || chr(776) || 'el ' ||
+                         CAST(doc_id AS VARCHAR)) AS normalized
+    FROM documents
+    """,
+)
+def q_nfc_normalize(spark, sf_dir):
+    """NFC normalizer (trnfcnormalizer.pas:93-105): combining marks fold
+    into precomposed forms — the engine's unicodedata kernel (the exact
+    code path of normalize.nfc_divs) vs DuckDB's independent nfc_normalize
+    implementation: a true cross-library NFC check."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: unicodedata.normalize("NFC", t))
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Café nöel "), F.col("doc_id").cast("string")
+    )
+    return docs.select("doc_id", nfc(raw).alias("normalized"))
+
+
+# Engine Rabin-64 MinHash (trshingler.pas:97-150): 20-hash fingerprints of
+# 5 fixed token streams, snapshot of the numpy kernel as the oracle.
+def _minhash_engine_rows():
+    from ..clean.shingle import fingerprint_signed
+
+    streams = [
+        ("the quick brown fox jumps over the lazy dog and runs far away "
+         "into the deep dark forest tonight").split(),
+        ("die forscher haben in der studie gezeigt dass die ergebnisse von "
+         "der methode abhaengen und die daten").split(),
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+         "mu nu xi omicron pi rho sigma").split(),
+        ("one two three four five six seven eight nine ten eleven twelve "
+         "thirteen fourteen fifteen sixteen").split(),
+        ("w x y z w x y z w x y z longer tokens follow here every time "
+         "padding padding padding").split(),
+    ]
+    rows = []
+    for k, toks in enumerate(streams):
+        fp = fingerprint_signed(toks, hashes=20)
+        for j, h in enumerate(fp):
+            rows.append((k, j, int(h)))
+    return rows
+
+
+@_register(
+    "q_minhash_engine",
+    f"""
+    SELECT d.doc_id, e.j, e.minhash
+    FROM documents d
+    JOIN {fixtures.sql_values(_minhash_engine_rows(), ["tpl", "j", "minhash"])}
+      ON d.doc_id % 5 = e.tpl
+    """,
+)
+def q_minhash_engine(spark, sf_dir):
+    """The ENGINE MinHash path — 5-token w-shingles (>=9-char pad) hashed
+    by the first-n deterministic Rabin-64 polynomials, min per function
+    (trshingler.pas:97-150, trrabinhash.pas:294-306) — distributed through
+    the chain's mapInPandas vs the kernel snapshot.  Complements the
+    portable md5 q_minhash_signature with the bit-exact reference family."""
+    from typing import Iterator
+
+    from ..clean.shingle import fingerprint_signed
+
+    streams = [
+        ("the quick brown fox jumps over the lazy dog and runs far away "
+         "into the deep dark forest tonight"),
+        ("die forscher haben in der studie gezeigt dass die ergebnisse von "
+         "der methode abhaengen und die daten"),
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+         "mu nu xi omicron pi rho sigma"),
+        ("one two three four five six seven eight nine ten eleven twelve "
+         "thirteen fourteen fifteen sixteen"),
+        ("w x y z w x y z w x y z longer tokens follow here every time "
+         "padding padding padding"),
+    ]
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                fp = fingerprint_signed(streams[int(doc_id) % 5].split(), hashes=20)
+                out.extend(
+                    {"doc_id": int(doc_id), "j": j, "minhash": int(h)}
+                    for j, h in enumerate(fp)
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "j", "minhash"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(work, "doc_id bigint, j int, minhash bigint")
+
+
+@_register(
+    "q_tarc_sink",
+    """
+    SELECT doc_id,
+           'http://s' || CAST(doc_id AS VARCHAR) || '.example.com/p' AS url,
+           encode(text) AS raw,
+           CAST(strlen(text) AS INT) AS raw_length
+    FROM documents
+    """,
+)
+def q_tarc_sink(spark, sf_dir):
+    """TARC sink (TrWriteTarc, trwritetools.pas:313-369): raw payload bytes
+    + length bookkeeping for random access (the arcxi extractor becomes a
+    filter+select on this table)."""
+    from ..operators.export import tarc_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    src = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://s"), ds, F.lit(".example.com/p")).alias("url"),
+        F.col("text").alias("raw_html"),
+    )
+    out = tarc_sink(src)
+    return out.select("doc_id", "url", "raw", F.col("raw_length").cast("int").alias("raw_length"))
