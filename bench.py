@@ -35,6 +35,8 @@ HEADLINE = [
     "q_ann_topk",
     "q_range_join",
     "q_simhash_neardup",
+    "q_sessionize",
+    "q_ann_ivf",
 ]
 
 

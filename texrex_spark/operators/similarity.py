@@ -132,3 +132,87 @@ def lsh_neardup(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return pairs.where(F.col("cos") > threshold)
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame,
+    vec_col: str = "_v", id_col: str = "vec_id", cent_id: str = "cell",
+) -> DataFrame:
+    """Coarse-quantizer assignment: each corpus vector -> its nearest
+    centroid by cosine (ties by centroid id).  Centroids are broadcast —
+    the corpus side never shuffles, so assignment is a map-only stage on
+    a 10^10-row table; cos is rounded to 4 dp before the argmax so the
+    engine and the SQL oracle rank identically."""
+    c = centroids.select(
+        F.col(cent_id), F.col(vec_col).alias("_cv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
+    )
+    scored = (
+        corpus.withColumn("_n", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        .join(F.broadcast(c))
+        .select(
+            id_col, vec_col, "_n", cent_id,
+            F.round(
+                _dot(F.col(vec_col), F.col("_cv")) / (F.col("_n") * F.col("_cn")), 4
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), cent_id)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "_n", cent_id)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, n_cells: int, n_probe: int, k: int,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate nearest neighbours: (query_id, vec_id, cos).
+
+    The inverted-file scale path for ANN (vs the brute-force cosine_topk
+    baseline): corpus vectors land in `n_cells` coarse cells once
+    (ivf_assign, map-only vs broadcast centroids); each query probes its
+    `n_probe` nearest cells and exact-reranks ONLY those cells' members.
+    Candidate generation is an equi-join on the cell id — a hash join on
+    a low-cardinality key instead of the N x Q cross product, which is
+    what survives at 10^9 corpus rows.  Deterministic by construction
+    (seed centroids = first n_cells corpus vectors, 4-dp rounded ranks),
+    so the SQL oracle (q_ann_ivf) mirrors it bit-for-bit."""
+    emb = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    cents = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("_v")
+    )
+    assigned = ivf_assign(emb, cents, "_v", "vec_id", "cell")
+
+    q = emb.join(queries.select(F.col(id_col).alias("vec_id")), "vec_id").select(
+        F.col("vec_id").alias("qid"), F.col("_v").alias("_qv"),
+        F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_qn"),
+    )
+    cq = cents.select("cell", F.col("_v").alias("_cv"),
+                      F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_cn"))
+    probe_scored = q.join(F.broadcast(cq)).select(
+        "qid", "_qv", "_qn", "cell",
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4).alias("_cos"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("_cos"), "cell")
+    probed = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") <= n_probe)
+        .select("qid", "_qv", "_qn", "cell")
+    )
+
+    cand = probed.join(assigned, "cell").where(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id",
+        F.round(_dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n")), 4).alias("cos"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .select(F.col("qid").alias("query_id"), "vec_id", "cos")
+    )

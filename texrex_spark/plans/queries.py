@@ -1705,3 +1705,334 @@ def q_tarc_sink(spark, sf_dir):
     )
     out = tarc_sink(src)
     return out.select("doc_id", "url", "raw", F.col("raw_length").cast("int").alias("raw_length"))
+
+
+# ---------------------------------------------------------------------------
+# Round 2: stateful sessionization, IVF ANN, normalizer-table fidelity,
+# engine-kernel snapshots (simhash / fingerprint / divdedup), snapshot
+# catalog time travel.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ), l AS (
+      SELECT user_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                    OR ts_s - lag(ts_s) OVER w > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+    ), s AS (
+      SELECT user_id, ts_s,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+                                 ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM l
+    )
+    SELECT user_id, session_id, CAST(COUNT(*) AS INT) AS n_events,
+           MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Stateful sessionization (30-min inactivity gap) over the events
+    stream — the ENGINE applyInPandas numpy kernel
+    (operators/sessionize.py; one shuffle on user_id, everything after
+    the exchange map-side) vs the independent SQL lag+cumsum derivation.
+    The applyInPandasWithState streaming twin (streaming/sessionize.py)
+    is pinned equal by tests/test_sessionize.py."""
+    from ..operators.sessionize import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
+@_register(
+    "q_ann_ivf",
+    """
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cell, v FROM emb WHERE vec_id < 16
+    ), assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.v, c.v), 4) DESC, c.cell
+               ) AS rn
+        FROM emb e CROSS JOIN cents c)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id >= 100 AND vec_id < 108
+    ), probed AS (
+      SELECT qid, qv, cell FROM (
+        SELECT q.qid, q.qv, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.v), 4) DESC, c.cell
+               ) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= 4
+    ), cand AS (
+      SELECT p.qid, a.vec_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 4) AS cos
+      FROM probed p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.qid
+    )
+    SELECT qid AS query_id, vec_id, cos FROM (
+      SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM cand)
+    WHERE rn <= 5
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbours — the inverted-file scale path
+    for ANN over the embeddings table (operators/similarity.ivf_topk):
+    map-only coarse assignment vs broadcast centroids, candidate
+    generation as an equi-join on the cell id (NOT the N x Q cross
+    product), exact rerank inside probed cells only.  Deterministic seed
+    centroids + 4-dp rounded ranks make the SQL mirror exact."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    return ivf_topk(emb, queries, n_cells=16, n_probe=4, k=5)
+
+
+def _norm_table_sql() -> str:
+    """Oracle twin of clean/normalize.normalize_text + the utf8.norm
+    replacement table (trnormalizer.pas:165-226): NBSP/ZWSP deletion, the
+    FULL table as a chained replace() in load order, then the illegal-
+    codepoint sweep as an RE2 class.  Built at import time from the same
+    refdata the engine loads, so both sides see the identical table."""
+    from .. import refdata
+
+    pairs = refdata.load_norm_table()
+    sample = "".join(l for l, _ in pairs[:8])
+    head = fixtures.sql_str("mojib " + sample + " x")
+    raw = (
+        f"{head} || CAST(doc_id AS VARCHAR) || chr(160) || 'tail' || "
+        "chr(8203) || chr(1) || 'end'"
+    )
+    # DuckDB's expression binder caps nesting at 128, so the ~170-pair
+    # chain is folded in chunks of 50 across nested subqueries.
+    expr = f"replace(replace({raw}, chr(160), ''), chr(8203), '')"
+    sql = f"SELECT doc_id, {expr} AS t FROM documents"
+    for lo in range(0, len(pairs), 50):
+        expr = "t"
+        for l, r in pairs[lo : lo + 50]:
+            expr = f"replace({expr}, {fixtures.sql_str(l)}, {fixtures.sql_str(r)})"
+        sql = f"SELECT doc_id, {expr} AS t FROM ({sql})"
+    illegal = (
+        "[\\x{0001}-\\x{001F}\\x{007F}-\\x{009F}\\x{E000}-\\x{F8FF}"
+        "\\x{FDD0}-\\x{FDEF}\\x{FFFD}-\\x{FFFF}\\x{FEFF}]"
+    )
+    return (
+        f"SELECT doc_id, regexp_replace(t, '{illegal}', ' ', 'g') AS normalized "
+        f"FROM ({sql})"
+    )
+
+
+@_register("q_normalize_utf8", _norm_table_sql())
+def q_normalize_utf8(spark, sf_dir):
+    """Normalizer with the reference's shipped utf8.norm table
+    (trnormalizer.pas:165-226 loader semantics, refdata.load_norm_table):
+    mojibake repair + NBSP/ZWSP deletion + illegal-codepoint sweep — the
+    engine's normalize_text kernel vs an independently-derived DuckDB
+    replace chain over the same table."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .. import refdata
+    from ..clean.normalize import normalize_text
+
+    pairs = refdata.load_norm_table()
+    sample = "".join(l for l, _ in pairs[:8])
+
+    @pandas_udf("string")
+    def norm(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: normalize_text(t, pairs))
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("mojib " + sample + " x"),
+        F.col("doc_id").cast("string"),
+        F.lit("\xa0tail\u200b\x01end"),
+    )
+    return docs.select("doc_id", norm(raw).alias("normalized"))
+
+
+# Engine-kernel snapshot oracles (the q_minhash_engine pattern): fixed
+# template inputs, the local kernel's output embedded as VALUES, the
+# DISTRIBUTED kernel recomputing them through the real pandas-UDF path.
+
+_SIMHASH_TEMPLATES = [
+    "the quick brown fox jumps over the lazy dog again and again tonight",
+    "die forscher zeigen dass die ergebnisse stark von der methode abhaengen",
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu",
+    "one two three four five six seven eight nine ten eleven twelve thirteen",
+    "w x y z w x y z repeated short tokens with padding padding padding",
+]
+
+
+def _simhash_engine_rows():
+    from ..operators.textops import simhash_batch
+
+    sims = simhash_batch(pd.Series(_SIMHASH_TEMPLATES))
+    return [(k, int(s)) for k, s in enumerate(sims)]
+
+
+@_register(
+    "q_simhash_engine",
+    f"""
+    SELECT d.doc_id, e.simhash
+    FROM documents d
+    JOIN {fixtures.sql_values(_simhash_engine_rows(), ["tpl", "simhash"])}
+      ON d.doc_id % 5 = e.tpl
+    """,
+)
+def q_simhash_engine(spark, sf_dir):
+    """The ENGINE SimHash (Charikar sketch over Rabin-64 token hashes,
+    whole-Arrow-batch numpy kernel, operators/textops.simhash_batch) run
+    through the distributed pandas-UDF path vs the local-kernel snapshot —
+    certifies the banded Hamming near-dup's signature input
+    (q_simhash_neardup stays the rows-only engine-native check)."""
+    from ..operators.textops import simhash_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    tpl = F.element_at(
+        F.array(*[F.lit(t) for t in _SIMHASH_TEMPLATES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return docs.select("doc_id", simhash_udf()(tpl).alias("simhash"))
+
+
+_FP_TEMPLATES = [
+    "plain single spaced text",
+    "  leading   and   internal\twhitespace\ncollapses  ",
+    "unicode tokens: \xe4\xf6\xfc stra\xdfe",
+    "",
+    "repeat repeat repeat repeat repeat",
+]
+
+
+def _fingerprint_rows():
+    import numpy as np
+
+    from ..operators.textops import _hasher
+
+    rows = []
+    h = _hasher()
+    for k, t in enumerate(_FP_TEMPLATES):
+        key = " ".join(t.split()).encode("utf-8")
+        v = int(np.uint64(h.hash(key)).astype(np.int64)) if t else 0
+        rows.append((k, v))
+    return rows
+
+
+@_register(
+    "q_doc_fingerprint",
+    f"""
+    SELECT d.doc_id, e.fp
+    FROM documents d
+    JOIN {fixtures.sql_values(_fingerprint_rows(), ["tpl", "fp"])}
+      ON d.doc_id % 5 = e.tpl
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling Rabin-64 document fingerprint of whitespace-normalized text
+    (the perfect-dedup content key, trduplicatedetector.pas:114-122) —
+    distributed doc_fingerprint_udf vs the local-kernel snapshot."""
+    from ..operators.textops import doc_fingerprint_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    tpl = F.element_at(
+        F.array(*[F.lit(t) for t in _FP_TEMPLATES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return docs.select("doc_id", doc_fingerprint_udf()(tpl).alias("fp"))
+
+
+_DIVDEDUP_TEMPLATES = [
+    ["hello world", "foo bar baz", "hello world", "ab", "foo bar baz"],
+    ["aaa", "bbb", "aaa", "bbb", "ccc", "aaa"],
+    ["only one div so the whole document is skipped"],
+]
+
+
+def _divdedup_rows():
+    from ..clean.divdedup import dedupe_divs
+    from ..clean.stripper import Div
+
+    rows = []
+    for k, texts in enumerate(_DIVDEDUP_TEMPLATES):
+        divs = [Div(text=t) for t in texts]
+        dedupe_divs(divs)
+        rows.extend((k, i, d.dup_of) for i, d in enumerate(divs))
+    return rows
+
+
+@_register(
+    "q_divdedup",
+    f"""
+    SELECT d.doc_id, e.div_idx, e.dup_of
+    FROM documents d
+    JOIN {fixtures.sql_values(_divdedup_rows(), ["tpl", "div_idx", "dup_of"])}
+      ON d.doc_id % 3 = e.tpl
+    """,
+)
+def q_divdedup(spark, sf_dir):
+    """In-document div deduplication (trdivdeduplicator.pas:148-216:
+    default-poly Rabin-64 per div, later identical div -> dup_of first,
+    < 3 chars skipped, < 2 divs skips the doc) — the kernel run through
+    the distributed mapInPandas path vs the local snapshot."""
+    from typing import Iterator
+
+    from ..clean.divdedup import dedupe_divs
+    from ..clean.stripper import Div
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                texts = _DIVDEDUP_TEMPLATES[int(doc_id) % 3]
+                divs = [Div(text=t) for t in texts]
+                dedupe_divs(divs)
+                out.extend(
+                    {"doc_id": int(doc_id), "div_idx": i, "dup_of": d.dup_of}
+                    for i, d in enumerate(divs)
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "div_idx", "dup_of"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(work, "doc_id bigint, div_idx int, dup_of int")
+
+
+@_register(
+    "q_snapshot_timetravel",
+    """
+    SELECT doc_id, CAST(length(text) AS INT) AS doc_len
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_snapshot_timetravel(spark, sf_dir):
+    """Snapshot-catalog time travel (operators/snapshots.py — the
+    Iceberg-equivalent layer per the BASELINE.md waiver): commit v1 (a
+    filtered subset), commit v2 (the full table), then read v1 BACK by
+    snapshot id.  The oracle is the v1 derivation — proving the pinned
+    manifest serves the superseded version, not the latest."""
+    import tempfile
+
+    from ..operators.snapshots import SnapshotCatalog
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("int").alias("doc_len")
+    )
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="texrex-ttq-"))
+    v1 = docs.where(F.col("doc_id") % 3 == 0)
+    sid1 = cat.commit({"docs": v1}, round_no=1)
+    cat.commit({"docs": docs}, round_no=2)
+    return cat.read(spark, "docs", snapshot_id=sid1)
