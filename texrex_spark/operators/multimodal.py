@@ -43,24 +43,24 @@ def synth_media_df(spark, cleaned: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref in pdf["media_ref"]:
-                seed = hashlib.md5(ref.encode()).digest()
-                rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-                w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
-                payload = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
-                rows.append(
-                    {
-                        "media_ref": ref,
-                        "kind": "image",
-                        "payload": payload,
-                        "meta": {"width": w, "height": h, "duration_ms": 0,
-                                 "mime": "image/fake"},
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([synth_media_row(ref) for ref in pdf["media_ref"]])
 
     return refs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synth_media_row(ref: str) -> dict:
+    """Pure per-ref kernel behind synth_media_df (md5-seeded, so the
+    payload is a deterministic function of the ref alone)."""
+    seed = hashlib.md5(ref.encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+    w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+    payload = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+    return {
+        "media_ref": ref,
+        "kind": "image",
+        "payload": payload,
+        "meta": {"width": w, "height": h, "duration_ms": 0, "mime": "image/fake"},
+    }
 
 
 def decode_stub(payload: bytes, meta: dict) -> np.ndarray:
@@ -88,33 +88,38 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref, payload, meta in zip(
-                pdf["media_ref"], pdf["payload"], pdf["meta"]
-            ):
-                img = decode_stub(payload, meta)
-                h, w = img.shape
-                ys = np.linspace(0, h - 1, 8).astype(int)
-                xs = np.linspace(0, w - 1, 8).astype(int)
-                tile = img[np.ix_(ys, xs)].astype(np.float64)
-                bits = (tile > tile.mean()).flatten()
-                phash = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        phash |= 1 << i
-                rows.append(
-                    {
-                        "media_ref": ref,
-                        "width": w,
-                        "height": h,
-                        "mean_intensity": float(img.mean()),
-                        "std_intensity": float(img.std()),
-                        "phash": np.uint64(phash).astype(np.int64),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                [
+                    feature_row(ref, payload, meta)
+                    for ref, payload, meta in zip(
+                        pdf["media_ref"], pdf["payload"], pdf["meta"]
+                    )
+                ]
+            )
 
     return media.mapInPandas(work, FEATURE_SCHEMA)
+
+
+def feature_row(ref: str, payload: bytes, meta: dict) -> dict:
+    """Pure per-object kernel behind extract_features."""
+    img = decode_stub(payload, meta)
+    h, w = img.shape
+    ys = np.linspace(0, h - 1, 8).astype(int)
+    xs = np.linspace(0, w - 1, 8).astype(int)
+    tile = img[np.ix_(ys, xs)].astype(np.float64)
+    bits = (tile > tile.mean()).flatten()
+    phash = 0
+    for i, b in enumerate(bits):
+        if b:
+            phash |= 1 << i
+    return {
+        "media_ref": ref,
+        "width": w,
+        "height": h,
+        "mean_intensity": float(img.mean()),
+        "std_intensity": float(img.std()),
+        "phash": np.uint64(phash).astype(np.int64),
+    }
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:

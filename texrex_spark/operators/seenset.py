@@ -107,11 +107,20 @@ class PartitionedSeenSet:
         error_rate: float = 1e-6,
         max_memory_mb_per_bucket: int = 256,
         expected_urls: int | None = None,
+        filter_kind: str = "bloom",
+        cuckoo_capacity_per_bucket: int = 2_000_000,
     ):
+        """filter_kind: "bloom" (scaling, default — the reference's
+        structure, trbloom.pas) or "cuckoo" (functions/cuckoo.py —
+        deletable, fixed-capacity; use retract() to un-see URLs)."""
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
         self.dir = storage_dir
         self.partitions = partitions
         self.error_rate = error_rate
         self.max_mb = max_memory_mb_per_bucket
+        self.filter_kind = filter_kind
+        self.cuckoo_capacity = cuckoo_capacity_per_bucket
         if expected_urls is not None:
             need = self.partitions_for(
                 expected_urls, error_rate, max_memory_mb_per_bucket
@@ -146,11 +155,18 @@ class PartitionedSeenSet:
     def _bucket_path(self, bucket: int) -> str:
         return os.path.join(self.dir, f"bucket-{bucket:05d}.pkl")
 
-    def _load_bucket(self, bucket: int) -> ScalingBloomFilter:
+    def _load_bucket(self, bucket: int):
+        from ..functions.cuckoo import CuckooFilter
+
         path = self._bucket_path(bucket)
         if os.path.exists(path):
             with open(path, "rb") as f:
-                return ScalingBloomFilter.from_state(pickle.load(f))
+                st = pickle.load(f)
+            if st.get("kind") == "cuckoo":
+                return CuckooFilter.from_state(st)
+            return ScalingBloomFilter.from_state(st)
+        if self.filter_kind == "cuckoo":
+            return CuckooFilter(self.cuckoo_capacity)
         return ScalingBloomFilter(self.error_rate, self.max_mb)
 
     def _save_bucket(self, bucket: int, filt: ScalingBloomFilter) -> None:
@@ -249,13 +265,66 @@ class PartitionedSeenSet:
         call within one round's materialization only once."""
         return self._run(df, url_col, mutate=True)
 
+    def retract(self, df: DataFrame, url_col: str = "url_norm") -> DataFrame:
+        """Un-see URLs so they can be re-admitted (a fetch that died before
+        its document committed, a forced recrawl).  Cuckoo buckets only —
+        the bloom filter cannot delete; calling this on bloom buckets
+        raises inside the tasks.  Returns the input + ``deleted`` flag."""
+        seen_self = self
+
+        def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: dict[int, object] = {}
+            dirty: set[int] = set()
+            for pdf in batches:
+                if pdf.empty:
+                    yield pdf.assign(deleted=pd.Series(dtype=bool))
+                    continue
+                deleted = np.zeros(len(pdf), dtype=bool)
+                for bucket, grp in pdf.groupby("bloom_bucket"):
+                    b = int(bucket)
+                    if b not in cache:
+                        cache[b] = seen_self._load_bucket(b)
+                    filt = cache[b]
+                    if not hasattr(filt, "delete_bulk"):
+                        raise TypeError(
+                            "retract() needs cuckoo buckets; this seen-set "
+                            "holds bloom bitmaps (filter_kind='bloom')"
+                        )
+                    urls = grp[url_col].to_numpy()
+                    uniq, first_idx = np.unique(urls, return_index=True)
+                    done = filt.delete_bulk([u.encode("utf-8") for u in uniq])
+                    dirty.add(b)
+                    hit = np.zeros(len(urls), dtype=bool)
+                    hit[first_idx[done]] = True
+                    loc = pdf.index.get_indexer(grp.index.to_numpy())
+                    deleted[loc] = hit
+                yield pdf.assign(deleted=deleted)
+            for b in dirty:
+                seen_self._save_bucket(b, cache[b])
+
+        bucketed = self.with_bucket(df, url_col).repartition(
+            self.partitions, F.col("bloom_bucket")
+        )
+        schema = (
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in bucketed.schema)
+            + ", deleted boolean"
+        )
+        return bucketed.mapInPandas(work, schema)
+
     # -- metrics / manifest ----------------------------------------------
 
     def stats(self) -> dict:
+        from ..functions.cuckoo import CuckooFilter
+
         out = {"buckets": 0, "adds": 0, "rejects": 0, "memory_bits": 0, "scalings": 0}
         for path in glob.glob(os.path.join(self.dir, "bucket-*.pkl")):
             with open(path, "rb") as f:
-                filt = ScalingBloomFilter.from_state(pickle.load(f))
+                st = pickle.load(f)
+            filt = (
+                CuckooFilter.from_state(st)
+                if st.get("kind") == "cuckoo"
+                else ScalingBloomFilter.from_state(st)
+            )
             out["buckets"] += 1
             out["adds"] += filt.adds
             out["rejects"] += filt.rejects

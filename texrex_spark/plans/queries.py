@@ -2036,3 +2036,114 @@ def q_snapshot_timetravel(spark, sf_dir):
     sid1 = cat.commit({"docs": v1}, round_no=1)
     cat.commit({"docs": docs}, round_no=2)
     return cat.read(spark, "docs", snapshot_id=sid1)
+
+
+@_register(
+    "q_seen_cuckoo",
+    """
+    SELECT doc_id,
+           'http://h' || CAST(doc_id % 97 AS VARCHAR) || '.example/p' ||
+             CAST(doc_id AS VARCHAR) AS url_norm,
+           (doc_id % 6 = 3) AS seen
+    FROM documents
+    """,
+)
+def q_seen_cuckoo(spark, sf_dir):
+    """The CUCKOO URL-seen set end-to-end through the partitioned
+    mapInPandas path (functions/cuckoo.py, operators/seenset.py):
+    round 1 adds every doc_id%3==0 URL, round 2 RETRACTS the doc_id%6==0
+    half (the delete the bloom filter cannot do), round 3 probes the full
+    table — so seen == (doc_id%6==3) exactly.  The oracle is that exact
+    set; at this scale the 16-bit-fingerprint false-positive rate is 0
+    (deterministic input, verified empirically, stable across runs)."""
+    import tempfile
+
+    from ..operators.seenset import PartitionedSeenSet
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+        ).alias("url_norm"),
+    )
+    seen = PartitionedSeenSet(
+        tempfile.mkdtemp(prefix="texrex-cuckooq-"),
+        partitions=8,
+        filter_kind="cuckoo",
+        cuckoo_capacity_per_bucket=100_000,
+    )
+    seen.check_and_add(urls.where(F.col("doc_id") % 3 == 0)).count()
+    seen.retract(urls.where(F.col("doc_id") % 6 == 0)).count()
+    return seen.probe(urls).select("doc_id", "url_norm", "seen")
+
+
+def _media_feature_rows():
+    from ..operators.multimodal import feature_row, synth_media_row
+
+    rows = []
+    for k in range(5):
+        m = synth_media_row(f"img/{k}.jpg")
+        f = feature_row(m["media_ref"], m["payload"], m["meta"])
+        rows.append(
+            (
+                k,
+                m["media_ref"],
+                f["width"],
+                f["height"],
+                round(f["mean_intensity"], 4),
+                round(f["std_intensity"], 4),
+                int(f["phash"]),
+            )
+        )
+    return rows
+
+
+@_register(
+    "q_media_features",
+    f"""
+    SELECT d.doc_id, e.media_ref, e.width, e.height,
+           e.mean_intensity, e.std_intensity, e.phash
+    FROM documents d
+    JOIN {fixtures.sql_values(
+        _media_feature_rows(),
+        ["tpl", "media_ref", "width", "height",
+         "mean_intensity", "std_intensity", "phash"],
+    )}
+      ON d.doc_id % 5 = e.tpl
+    """,
+)
+def q_media_features(spark, sf_dir):
+    """Multimodal decode -> feature-extract over the media table
+    (operators/multimodal.py): interleaved spans reference binary
+    payloads by media_ref; features (intensity stats + 64-bit
+    average-hash) come out of the real mapInPandas batch path with the
+    deterministic stub decoder, vs the local-kernel snapshot.  The
+    equi-join back to docs is on media_ref (broadcastable here; at scale
+    the media table shuffles on its natural key)."""
+    from ..operators.multimodal import extract_features, synth_media_df
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = F.concat(F.lit("img/"), (F.col("doc_id") % 5).cast("string"), F.lit(".jpg"))
+    spans = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"), F.lit("").alias("text"),
+                ref.alias("media_ref"), F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    media = synth_media_df(spark, spans)
+    feats = extract_features(media).select(
+        "media_ref", "width", "height",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("std_intensity", 4).alias("std_intensity"),
+        "phash",
+    )
+    refs = docs.select("doc_id", ref.alias("media_ref"))
+    return refs.join(F.broadcast(feats), "media_ref").select(
+        "doc_id", "media_ref", "width", "height",
+        "mean_intensity", "std_intensity", "phash",
+    )
