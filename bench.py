@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -54,6 +56,24 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def warm(spark, sf_dir: str) -> None:
+    """One tiny JVM aggregation + one tiny Arrow/pandas-UDF round trip."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
+
+    @pandas_udf("long")
+    def _echo(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_echo(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -154,6 +174,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     work_dir = tempfile.mkdtemp(prefix="texrex-bench-")
     try:
+        # Discarded warm-up (same methodology as bench/scaling.py): pay
+        # JVM start, codegen, Arrow + Python-worker-pool spin-up once so
+        # the timed numbers measure the operators, not process bootstrap.
+        # The throwaway 100k frontier round warms the full mapInPandas
+        # worker pool (32 python workers) and the seen-set code path.
+        warm(spark, sf_dir)
+        warm_dir = tempfile.mkdtemp(prefix="texrex-bench-warm-")
+        bench_frontier(spark, 100_000, warm_dir)
+        shutil.rmtree(warm_dir, ignore_errors=True)
         t0 = time.time()
         per_query = bench_queries(spark, sf_dir)
         frontier = bench_frontier(spark, n_urls, work_dir)

@@ -140,3 +140,17 @@ def test_ivf_plan_no_cartesian_on_candidates(emb):
     queries = emb.where(F.col("vec_id") < 3)
     plan = ivf_topk(emb, queries, n_cells=8, n_probe=4, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_plan_prunes_scan(spark, sf_dir):
+    """The events scan under sessionize must read ONLY (user_id, ts) —
+    the pandas exchange is the narrow projection, never the full row."""
+    from texrex_spark.operators.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "user_id" in scan[0] and "ts" in scan[0]
+    for unwanted in ("event_type", "props", "value"):
+        assert unwanted not in scan[0]

@@ -169,3 +169,20 @@ def test_spark_matches_oracle_with_clean_chain(spark, corpus):
         for r in result["crawl_log"].collect()
     ]
     assert got_log == oracle.ordered_log()
+
+
+def test_large_fleet_auto_flips_to_parquet_state(spark):
+    """Past ~100 walkers the driver state round-trip stops being the right
+    default: run() must self-select the distributed parquet round files
+    (walker.py auto-flip) and still produce a correct crawl."""
+    from texrex_spark.operators.walker import SparkCrawl
+
+    corpus = synth.generate(n_hosts=16, n_docs=220, seed=7, n_seeds=120)
+    cfg = WalkConfig(seed=7, n_walkers=120, max_steps=2, min_politeness=1,
+                     cache_size=10)
+    docs = synth.docs_df(spark, corpus)
+    sc = SparkCrawl(spark, cfg)
+    assert sc.checkpoint_dir is None
+    out = sc.run(docs, corpus.seeds, corpus.robots, max_rounds=6)
+    assert sc.checkpoint_dir is not None  # auto-flipped
+    assert out["crawl_log"].count() > 0

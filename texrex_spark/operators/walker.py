@@ -170,6 +170,13 @@ class SparkCrawl:
         # ~250 KB per round), or through a parquet round file when a
         # checkpoint_dir is set (fully distributed; the round file doubles
         # as the resumable snapshot).
+        if self.checkpoint_dir is None and self.config.n_walkers > 100:
+            # Driver round-trips are bounded (K x ~250 KB/round) but stop
+            # being the right default past ~100 walkers; flip to the
+            # distributed parquet round files automatically.
+            import tempfile
+
+            self.checkpoint_dir = tempfile.mkdtemp(prefix="texrex-walk-ckpt-")
         parquet_mode = bool(self.checkpoint_dir)
         states_rows: list[tuple] = []
         if parquet_mode:

@@ -2147,3 +2147,48 @@ def q_media_features(spark, sf_dir):
         "doc_id", "media_ref", "width", "height",
         "mean_intensity", "std_intensity", "phash",
     )
+
+
+@_register(
+    "q_embed_quantize",
+    """
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                      1e-12) AS scale
+      FROM emb
+    )
+    SELECT vec_id,
+           generate_subscripts(v, 1) AS j,
+           CAST(floor(unnest(v) / scale + 0.5) AS INT) AS q,
+           ROUND(scale, 6) AS scale
+    FROM s
+    """,
+)
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (the storage
+    path for billion-vector ANN: 4x smaller than float32, scale kept
+    per row).  Pure Catalyst — array_max/transform/posexplode, no UDF —
+    vs the identical SQL derivation; floor(x/scale + 0.5) is used on
+    BOTH sides so rounding ties break identically."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scaled = emb.select(
+        "vec_id", "v",
+        F.greatest(
+            F.array_max(F.transform("v", F.abs)) / F.lit(127.0), F.lit(1e-12)
+        ).alias("scale"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.posexplode("v").alias("pos", "x"),
+        "scale",
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("j"),
+        F.floor(F.col("x") / F.col("scale") + 0.5).cast("int").alias("q"),
+        F.round("scale", 6).alias("scale"),
+    )
