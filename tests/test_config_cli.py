@@ -1,0 +1,128 @@
+"""INI config binding (texrex_spark/config.py) + the CLI subcommands
+(python -m texrex_spark ...), end-to-end on a synthetic corpus."""
+
+import os
+
+import pytest
+
+from texrex_spark.__main__ import main as cli_main
+from texrex_spark.config import chain_config_from_ini, parse_ini
+
+REF_INI = "/root/reference/data/texrex.ini"
+
+MINI_INI = """
+[TTrWorkerPool]
+UseSimpleFilter=1
+UseDeboilerplater=0
+UseTextAssessmentMulti=0
+UseShingler=1
+UseNormalizer=1
+UseDivDeduplicator=1
+
+[TTrHtmlStripper]
+MinimalLinkLength=20
+MaximalLinkLength=512
+
+[TTrSimpleDocumentFilter]
+DivThreshold=2
+SizeThreshold=50
+
+[TTrSecondPass]
+CleanseHashtag=1
+EmailReplacer="emailblank"
+
+[TTrShingler]
+HashesNumber=25
+
+[TTrNormalizer]
+ReplacementFile="utf8.norm"
+"""
+
+
+def test_parse_ini_typing():
+    ini = parse_ini('[A]\nX=1\nY=0.5\nZ="q|r"\n# c\nW=plain\n')
+    assert ini["A"] == {"X": 1, "Y": 0.5, "Z": "q|r", "W": "plain"}
+
+
+def test_reference_ini_binds_full_chain():
+    """The reference's shipped job file maps onto ChainConfig with its
+    trained artifacts loaded and its scheduler keys reported ignored."""
+    if not os.path.exists(REF_INI):
+        pytest.skip("reference data dir absent")
+    job = chain_config_from_ini(REF_INI)
+    c = job.chain
+    assert c.use_deboilerplater and c.boilerplate_net is not None
+    assert c.use_assessment and len(c.profiles) == 4
+    assert c.shingle_hashes == 100
+    assert len(c.norm_replacements) > 100
+    assert c.boilerplate.threshold == 0.55
+    assert c.secondpass.cleanse_hashtag is False  # CleanseHashtag=0
+    assert c.secondpass.email_replacer == "emailblank"
+    assert c.stripper.minimal_link_length == 16
+    assert c.use_simple_filter and c.simple_size_threshold == 1000
+    assert any(k.startswith("TTrApplication.") for k in job.ignored_keys)
+    assert "TTrWorkerPool.WorkerNumber" in job.ignored_keys
+    assert job.writer.get("WriteTokens") == 1
+
+
+def test_mini_ini_overrides():
+    job = chain_config_from_ini(MINI_INI)
+    c = job.chain
+    assert not c.use_deboilerplater and not c.use_assessment
+    assert c.shingle_hashes == 25
+    assert c.stripper.minimal_link_length == 20
+    assert c.simple_size_threshold == 50
+    assert c.secondpass.cleanse_hashtag is True
+
+
+def test_cli_clean_tender_tecl_roundtrip(spark, tmp_path):
+    """clean -> tender -> tecl -> cowinterleave -> cowsplit through the
+    CLI entry, sharing the test session (the CLI must not stop it)."""
+    from texrex_spark.sources import synth
+
+    corpus = synth.generate(n_hosts=6, n_docs=60, seed=99)
+    docs = synth.docs_df(spark, corpus).select("doc_id", "url", "raw_html")
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+
+    ini_path = str(tmp_path / "job.ini")
+    with open(ini_path, "w") as f:
+        f.write(MINI_INI)
+
+    out = str(tmp_path / "out")
+    rc = cli_main(
+        ["clean", "--ini", ini_path, "--input", src, "--output", out, "--xml",
+         "--quiet"]
+    )
+    assert rc == 0
+    cleaned = spark.read.parquet(os.path.join(out, "docs"))
+    assert cleaned.count() > 0
+    assert "spans" in cleaned.columns and "fingerprint" in cleaned.columns
+    xml = spark.read.text(os.path.join(out, "xml"))
+    n_doc_tags = xml.where(xml.value.startswith("<doc")).count()
+    assert n_doc_tags == cleaned.count()
+
+    bl = str(tmp_path / "bl")
+    assert cli_main(["tender", "--input", os.path.join(out, "docs"),
+                     "--output", bl, "--min-shared", "3"]) == 0
+    surv = str(tmp_path / "surv")
+    assert cli_main(["tecl", "--input", os.path.join(out, "docs"),
+                     "--blacklist", bl, "--output", surv, "--uniqids"]) == 0
+    n_surv = spark.read.parquet(surv).count()
+    n_bl = spark.read.parquet(bl).count()
+    assert n_surv == cleaned.count() - n_bl
+
+    flat = str(tmp_path / "flat")
+    assert cli_main(["cowinterleave", "--input", os.path.join(out, "docs"),
+                     "--output", flat]) == 0
+    assert spark.read.parquet(flat).count() >= cleaned.count()
+
+    parts = str(tmp_path / "parts")
+    assert cli_main(["cowsplit", "--input", flat, "--output", parts,
+                     "--max-records", "40"]) == 0
+    import glob
+
+    files = glob.glob(os.path.join(parts, "part-*"))
+    assert files
+    # spark session still alive and usable after all CLI calls
+    assert spark.range(3).count() == 3

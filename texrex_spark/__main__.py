@@ -1,0 +1,192 @@
+"""Command-line face of the engine — the reference's binaries as
+spark-submit-able subcommands, configured by the reference's own INI
+job files (texrex_spark/config.py).
+
+    python -m texrex_spark clean   --ini texrex.ini --input docs.parquet \
+        --output out/ [--input-format parquet|warc|arc] [--xml] [--cpus N]
+    python -m texrex_spark tender  --input cleaned/ --output blacklist/
+    python -m texrex_spark tecl    --input cleaned/ --blacklist blacklist/ \
+        --output survivors/ [--white] [--uniqids]
+    python -m texrex_spark cowinterleave --input cleaned/ --output flat/
+    python -m texrex_spark cowsplit --input flat/ --output parts/ \
+        --max-records 100000
+
+Mapping to the reference binaries: ``clean`` = texrex itself
+(src/programs/texrex.pas job loop), ``tender``/``tecl`` =
+trtenderapplication/trteclapplication, ``cowinterleave``/``cowsplit`` =
+trcow*application.  Output is parquet; ``--xml`` additionally writes the
+XML corpus lines (trwritetools.pas:81-271 sink) as text part-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark(cpus: int):
+    """Reuse an active session when embedded (tests, notebooks); create
+    and own one when run standalone.  Returns (spark, owns)."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active, False
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("texrex_spark-cli")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    ), True
+
+
+def _read_docs(spark, path: str, fmt: str):
+    from .sources import warc as warcmod
+
+    if fmt == "warc":
+        return warcmod.read_warc(spark, path)
+    if fmt == "arc":
+        return warcmod.read_arc(spark, path)
+    return spark.read.parquet(path)
+
+
+def cmd_clean(args) -> int:
+    from .clean.chain import ChainConfig, clean_docs
+    from .config import chain_config_from_ini
+    from .operators.export import xml_corpus
+
+    spark, owns = _spark(args.cpus)
+    cfg = ChainConfig()
+    if args.ini:
+        job = chain_config_from_ini(args.ini, args.data_dir)
+        cfg = job.chain
+        if job.ignored_keys and not args.quiet:
+            print(
+                f"[texrex_spark] {len(job.ignored_keys)} scheduler-only INI "
+                "keys ignored (Spark schedules tasks itself)",
+                file=sys.stderr,
+            )
+    docs = _read_docs(spark, args.input, args.input_format)
+    cleaned = clean_docs(docs.select("doc_id", "url", "raw_html"), cfg)
+    cleaned.write.mode("overwrite").parquet(os.path.join(args.output, "docs"))
+    if args.xml:
+        out = spark.read.parquet(os.path.join(args.output, "docs"))
+        xml_corpus(out).select("xml").write.mode("overwrite").text(
+            os.path.join(args.output, "xml")
+        )
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_tender(args) -> int:
+    from .operators.neardup import tender
+
+    spark, owns = _spark(args.cpus)
+    docs = spark.read.parquet(args.input)
+    if "doc_size" not in docs.columns:
+        from pyspark.sql import functions as F
+
+        docs = docs.withColumn("doc_size", F.col("token_count"))
+    bl = tender(
+        docs.select("doc_id", "fingerprint", "doc_size"),
+        min_shared=args.min_shared,
+        max_redundancy=args.max_redundancy,
+    )
+    bl.write.mode("overwrite").parquet(args.output)
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_tecl(args) -> int:
+    from .operators.neardup import tecl
+
+    spark, owns = _spark(args.cpus)
+    corpus = spark.read.parquet(args.input)
+    bl = spark.read.parquet(args.blacklist).select("doc_id")
+    out = tecl(corpus, bl, white=args.white, uniq_ids=args.uniqids)
+    out.write.mode("overwrite").parquet(args.output)
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_cowinterleave(args) -> int:
+    from .operators.export import cowinterleave
+
+    spark, owns = _spark(args.cpus)
+    cowinterleave(spark.read.parquet(args.input)).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_cowsplit(args) -> int:
+    from .operators.export import cowsplit_write
+
+    spark, owns = _spark(args.cpus)
+    cowsplit_write(
+        spark.read.parquet(args.input), args.output, args.max_records
+    )
+    if owns:
+        spark.stop()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="texrex_spark")
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("clean", help="run the cleaning chain (the texrex binary)")
+    c.add_argument("--ini", help="texrex INI job file (reference format)")
+    c.add_argument("--data-dir", help="artifact dir for FannFile/ProfileFile/ReplacementFile")
+    c.add_argument("--input", required=True)
+    c.add_argument("--input-format", choices=["parquet", "warc", "arc"], default="parquet")
+    c.add_argument("--output", required=True)
+    c.add_argument("--xml", action="store_true", help="also write the XML corpus sink")
+    c.add_argument("--quiet", action="store_true")
+    c.set_defaults(fn=cmd_clean)
+
+    t = sub.add_parser("tender", help="near-duplicate blacklist generation")
+    t.add_argument("--input", required=True)
+    t.add_argument("--output", required=True)
+    t.add_argument("--min-shared", type=int, default=5)
+    t.add_argument("--max-redundancy", type=int, default=200)
+    t.set_defaults(fn=cmd_tender)
+
+    e = sub.add_parser("tecl", help="apply a blacklist (or whitelist) to a corpus")
+    e.add_argument("--input", required=True)
+    e.add_argument("--blacklist", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--white", action="store_true")
+    e.add_argument("--uniqids", action="store_true")
+    e.set_defaults(fn=cmd_tecl)
+
+    ci = sub.add_parser("cowinterleave", help="flatten spans to one row per div")
+    ci.add_argument("--input", required=True)
+    ci.add_argument("--output", required=True)
+    ci.set_defaults(fn=cmd_cowinterleave)
+
+    cs = sub.add_parser("cowsplit", help="split output, never splitting a doc")
+    cs.add_argument("--input", required=True)
+    cs.add_argument("--output", required=True)
+    cs.add_argument("--max-records", type=int, default=100_000)
+    cs.set_defaults(fn=cmd_cowsplit)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
