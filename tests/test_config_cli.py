@@ -126,3 +126,27 @@ def test_cli_clean_tender_tecl_roundtrip(spark, tmp_path):
     assert files
     # spark session still alive and usable after all CLI calls
     assert spark.range(3).count() == 3
+
+
+def test_cli_synth_crawl_resume(spark, tmp_path):
+    """synth -> crawl (3 rounds, snapshotting) -> crawl --resume (2 more):
+    the resumed run continues the round counter and dedups against the
+    restored seen-set, all through the CLI entry."""
+    import json
+
+    web = str(tmp_path / "web")
+    assert cli_main(["synth", "--output", web, "--hosts", "8",
+                     "--docs", "150", "--seeds", "12"]) == 0
+    work = str(tmp_path / "work")
+    base = ["crawl", "--work-dir", work, "--seeds", f"{web}/seeds.parquet",
+            "--docs", f"{web}/docs.parquet", "--robots", f"{web}/robots.parquet",
+            "--seen-partitions", "4", "--snapshot-every", "1", "--quiet"]
+    assert cli_main(base + ["--rounds", "3"]) == 0
+    first = {r["url_norm"] for r in spark.read.parquet(f"{work}/fetched").collect()}
+    assert first
+    assert cli_main(base + ["--rounds", "2", "--resume"]) == 0
+    second = {r["url_norm"] for r in spark.read.parquet(f"{work}/fetched").collect()}
+    # resumed rounds fetch only URLs the first run never saw
+    assert not (first & second)
+    rounds = [m["round"] for m in json.load(open(f"{work}/metrics.json"))]
+    assert rounds and rounds[0] >= 3  # counter carried across the resume

@@ -140,6 +140,72 @@ def cmd_cowsplit(args) -> int:
     return 0
 
 
+def cmd_synth(args) -> int:
+    from .sources import synth
+
+    spark, owns = _spark(args.cpus)
+    corpus = synth.generate(
+        n_hosts=args.hosts, n_docs=args.docs, seed=args.seed, n_seeds=args.seeds
+    )
+    synth.write_parquet(spark, corpus, args.output)
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    """The north-rule job: frontier scheduler rounds over a docs table,
+    resumable from the work dir's snapshot catalog."""
+    from pyspark.sql import functions as F
+
+    from .operators.frontier import FrontierConfig, FrontierScheduler
+
+    spark, owns = _spark(args.cpus)
+    cfg = FrontierConfig(
+        seen_partitions=args.seen_partitions,
+        min_politeness=args.min_politeness,
+        frontier_cap=args.frontier_cap,
+        max_depth=args.max_depth,
+        snapshot_every=args.snapshot_every,
+    )
+    sched = FrontierScheduler(spark, cfg, args.work_dir)
+
+    docs = spark.read.parquet(args.docs)
+    robots = spark.read.parquet(args.robots) if args.robots else spark.createDataFrame(
+        [], "host string, has_robots boolean, disallow_prefixes array<string>, "
+        "crawl_delay int"
+    )
+    seeds = spark.read.parquet(args.seeds)
+    if "priority" not in seeds.columns:
+        seeds = seeds.select(
+            "url", (F.abs(F.xxhash64("url")) % F.lit(1_000_000_000)).alias("priority")
+        )
+    else:
+        seeds = seeds.select("url", "priority")
+
+    carried = sched.resume() if args.resume else None
+    if carried is not None:
+        out = sched.run(
+            seeds, docs, robots, rounds=args.rounds,
+            host_state=carried["host_state"], now=carried["now"],
+            resume_frontier=carried["frontier"],
+            start_round=carried["start_round"],
+        )
+    else:
+        out = sched.run(seeds, docs, robots, rounds=args.rounds)
+    out["fetched"].write.mode("overwrite").parquet(
+        os.path.join(args.work_dir, "fetched")
+    )
+    metrics = sched.write_metrics()
+    if not args.quiet:
+        n = spark.read.parquet(os.path.join(args.work_dir, "fetched")).count()
+        print(f"[texrex_spark] fetched {n} urls over {args.rounds} rounds; "
+              f"metrics at {metrics}", file=sys.stderr)
+    if owns:
+        spark.stop()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="texrex_spark")
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
@@ -180,6 +246,29 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--output", required=True)
     cs.add_argument("--max-records", type=int, default=100_000)
     cs.set_defaults(fn=cmd_cowsplit)
+
+    sy = sub.add_parser("synth", help="generate a deterministic synthetic web")
+    sy.add_argument("--output", required=True)
+    sy.add_argument("--hosts", type=int, default=12)
+    sy.add_argument("--docs", type=int, default=300)
+    sy.add_argument("--seeds", type=int, default=24)
+    sy.add_argument("--seed", type=int, default=42)
+    sy.set_defaults(fn=cmd_synth)
+
+    cr = sub.add_parser("crawl", help="frontier scheduler rounds (resumable)")
+    cr.add_argument("--work-dir", required=True)
+    cr.add_argument("--seeds", required=True, help="parquet (url[, priority])")
+    cr.add_argument("--docs", required=True, help="parquet (doc_id, url, host, links)")
+    cr.add_argument("--robots", help="parquet robots table")
+    cr.add_argument("--rounds", type=int, default=5)
+    cr.add_argument("--seen-partitions", type=int, default=32)
+    cr.add_argument("--min-politeness", type=int, default=2)
+    cr.add_argument("--frontier-cap", type=int, default=1_000_000)
+    cr.add_argument("--max-depth", type=int, default=6)
+    cr.add_argument("--snapshot-every", type=int, default=0)
+    cr.add_argument("--resume", action="store_true")
+    cr.add_argument("--quiet", action="store_true")
+    cr.set_defaults(fn=cmd_crawl)
     return p
 
 
