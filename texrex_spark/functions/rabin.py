@@ -96,7 +96,32 @@ class Rabin64:
 
     def hash_matrix(self, mat: np.ndarray) -> np.ndarray:
         """Hash a (n, L) uint8 matrix of n equal-length keys -> (n,) uint64."""
-        return _hash_matrix_multi(mat, self.tables[None, :, :])[0]
+        t3 = getattr(self, "_tables3", None)
+        if t3 is None:
+            t3 = self._tables3 = self.tables[None, :, :]
+        return _hash_matrix_multi(mat, t3)[0]
+
+
+# Flattened per-lane table layout cache: id(tables) -> (8 x (P*256,) flat
+# arrays, (P,1) row-base offsets).  Keeping the source array in the value
+# pins its id.  The flat layout turns the hot gather
+# ``tables[pidx, t, lane]`` (fancy 3-index) into a 1-D take, ~25% faster
+# and allocation-free.
+_FLAT_CACHE: dict[int, tuple] = {}
+
+
+def _flat_layout(tables: np.ndarray):
+    key = id(tables)
+    hit = _FLAT_CACHE.get(key)
+    if hit is not None and hit[0] is tables:
+        return hit[1], hit[2]
+    p = tables.shape[0]
+    flat = [np.ascontiguousarray(tables[:, t, :]).reshape(-1) for t in range(8)]
+    pbase = (np.arange(p, dtype=np.intp) * 256)[:, None]
+    _FLAT_CACHE[key] = (tables, flat, pbase)
+    if len(_FLAT_CACHE) > 64:  # bound the cache; entries are ~1.6 MB/100 polys
+        _FLAT_CACHE.pop(next(iter(_FLAT_CACHE)))
+    return flat, pbase
 
 
 def _hash_matrix_multi(
@@ -115,30 +140,33 @@ def _hash_matrix_multi(
     """
     n = mat.shape[0]
     p = tables.shape[0]
+    flat, pbase = _flat_layout(tables)
     out = np.empty((p, n), dtype=np.uint64)
     for s in range(0, n, chunk):
-        _hash_chunk(mat[s : s + chunk], tables, out[:, s : s + chunk])
+        _hash_chunk(mat[s : s + chunk], flat, pbase, out[:, s : s + chunk])
     return out
 
 
-def _hash_chunk(mat: np.ndarray, tables: np.ndarray, out: np.ndarray) -> None:
+def _hash_chunk(
+    mat: np.ndarray, flat: list, pbase: np.ndarray, out: np.ndarray
+) -> None:
     n, length = mat.shape
-    p = tables.shape[0]
+    p = pbase.shape[0]
     w = np.zeros((p, n), dtype=np.uint64)
     starter = length % 8
     cols = mat.T.astype(np.uint64)  # (L, n)
     for s in range(starter):
         w = (w << _U64(8)) ^ cols[s][None, :]
-    pidx = np.arange(p)[:, None]
     mask = _U64(0xFF)
     shifted = np.zeros_like(w)
-    lane = np.empty_like(w)
+    idx = np.empty((p, n), dtype=np.intp)
     for block in range(starter, length, 8):
-        # ComputeShifted: eight table gathers on the byte lanes of W.
+        # ComputeShifted: eight 1-D table takes on the byte lanes of W.
         shifted[:] = 0
         for t in range(8):
-            np.bitwise_and(w >> _U64(8 * t), mask, out=lane)
-            shifted ^= tables[pidx, t, lane]
+            lane = (w >> _U64(8 * t)) & mask
+            np.add(lane.astype(np.intp), pbase, out=idx)
+            shifted ^= flat[t][idx]
         blk = np.zeros(n, dtype=np.uint64)
         for b in range(8):
             blk = (blk << _U64(8)) ^ cols[block + b]
@@ -167,12 +195,23 @@ class HashProvider:
     def hash_batch(self, keys: list[bytes]) -> np.ndarray:
         """All n hashes of many keys -> (len(keys), n) uint64.
 
-        Groups keys by length so each group is one fully vectorized pass.
+        Duplicate keys hash once (shingle streams repeat stopword-heavy
+        5-grams heavily; pure function, so the scatter-back is exact),
+        then unique keys group by length so each group is one fully
+        vectorized pass.
         """
         out = np.zeros((len(keys), self.n), dtype=np.uint64)
+        first_of: dict[bytes, int] = {}
         by_len: dict[int, list[int]] = {}
+        dup_src: list[int] = []
+        dup_dst: list[int] = []
         for i, k in enumerate(keys):
-            by_len.setdefault(len(k), []).append(i)
+            j = first_of.setdefault(k, i)
+            if j == i:
+                by_len.setdefault(len(k), []).append(i)
+            else:
+                dup_src.append(j)
+                dup_dst.append(i)
         for length, idxs in by_len.items():
             if length == 0:
                 continue  # empty key hashes to 0 under this scheme
@@ -180,6 +219,8 @@ class HashProvider:
             mat = mat.reshape(len(idxs), length)
             hashes = _hash_matrix_multi(mat, self.tables)  # (P, n_group)
             out[np.asarray(idxs), :] = hashes.T
+        if dup_dst:
+            out[np.asarray(dup_dst), :] = out[np.asarray(dup_src), :]
         return out
 
 
