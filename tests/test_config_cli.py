@@ -150,3 +150,27 @@ def test_cli_synth_crawl_resume(spark, tmp_path):
     assert not (first & second)
     rounds = [m["round"] for m in json.load(open(f"{work}/metrics.json"))]
     assert rounds and rounds[0] >= 3  # counter carried across the resume
+
+
+def test_cli_crawl_cuckoo_seen_filter(spark, tmp_path):
+    """--seen-filter cuckoo runs the scheduler on cuckoo buckets; the
+    fetched set still dedups exactly (and the buckets support retract)."""
+    web = str(tmp_path / "web")
+    assert cli_main(["synth", "--output", web, "--hosts", "6",
+                     "--docs", "120", "--seeds", "10"]) == 0
+    work = str(tmp_path / "work")
+    assert cli_main(["crawl", "--work-dir", work,
+                     "--seeds", f"{web}/seeds.parquet",
+                     "--docs", f"{web}/docs.parquet",
+                     "--robots", f"{web}/robots.parquet",
+                     "--rounds", "3", "--seen-partitions", "4",
+                     "--seen-filter", "cuckoo", "--quiet"]) == 0
+    fetched = spark.read.parquet(f"{work}/fetched")
+    urls = [r.url_norm for r in fetched.collect()]
+    assert urls and len(urls) == len(set(urls))
+    import glob
+    import pickle
+
+    bucket = sorted(glob.glob(f"{work}/seen/bucket-*.pkl"))[0]
+    with open(bucket, "rb") as f:
+        assert pickle.load(f)["kind"] == "cuckoo"

@@ -167,6 +167,7 @@ def cmd_crawl(args) -> int:
         frontier_cap=args.frontier_cap,
         max_depth=args.max_depth,
         snapshot_every=args.snapshot_every,
+        seen_filter=args.seen_filter,
     )
     sched = FrontierScheduler(spark, cfg, args.work_dir)
 
@@ -266,6 +267,7 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--frontier-cap", type=int, default=1_000_000)
     cr.add_argument("--max-depth", type=int, default=6)
     cr.add_argument("--snapshot-every", type=int, default=0)
+    cr.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom")
     cr.add_argument("--resume", action="store_true")
     cr.add_argument("--quiet", action="store_true")
     cr.set_defaults(fn=cmd_crawl)

@@ -98,6 +98,10 @@ class FrontierConfig:
     use_external_links: bool = True
     use_same_host_links: bool = True
     use_same_virtual_host_links: bool = True
+    # "bloom" (reference parity, scaling) or "cuckoo" (deletable:
+    # seen.retract() un-sees URLs whose fetch died before commit)
+    seen_filter: str = "bloom"
+    cuckoo_capacity_per_bucket: int = 2_000_000
 
 
 @dataclass
@@ -113,6 +117,8 @@ class FrontierScheduler:
             os.path.join(self.work_dir, "seen"),
             partitions=self.config.seen_partitions,
             error_rate=self.config.bloom_error_rate,
+            filter_kind=self.config.seen_filter,
+            cuckoo_capacity_per_bucket=self.config.cuckoo_capacity_per_bucket,
         )
         self.catalog: SnapshotCatalog | None = (
             SnapshotCatalog(os.path.join(self.work_dir, "snapshots"))
