@@ -196,6 +196,8 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    if os.environ.get("SCALING_NO_WRITE"):
+        return
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — frontier scaling evidence (N vs 4N parallelism)\n\n"

@@ -2192,3 +2192,60 @@ def q_embed_quantize(spark, sf_dir):
         F.floor(F.col("x") / F.col("scale") + 0.5).cast("int").alias("q"),
         F.round("scale", 6).alias("scale"),
     )
+
+
+def _walk_order_setup():
+    from ..operators.walkstate import WalkConfig
+    from ..sources import synth
+
+    corpus = synth.generate(n_hosts=10, n_docs=120, seed=13, n_seeds=16)
+    cfg = WalkConfig(
+        seed=13, n_walkers=3, max_steps=8, random_jump_probability=0.1,
+        min_politeness=2, cache_size=15,
+    )
+    return corpus, cfg
+
+
+def _walk_order_rows():
+    from ..oracle.crawl import crawl as oracle_crawl
+
+    corpus, cfg = _walk_order_setup()
+    res = oracle_crawl(corpus, cfg)
+    return [
+        (r.walker_id, r.seq, r.clock, r.follow, r.url, r.http, r.process,
+         r.seen, r.links_found)
+        for r in res.log
+    ]
+
+
+@_register(
+    "q_crawl_order",
+    f"""
+    SELECT walker_id, seq, clock, follow, url, http, process, seen,
+           links_found
+    FROM {fixtures.sql_values(
+        _walk_order_rows(),
+        ["walker_id", "seq", "clock", "follow", "url", "http", "process",
+         "seen", "links_found"],
+    )}
+    """,
+)
+def q_crawl_order(spark, sf_dir):
+    """THE BASELINE correctness gate as a driver row: the distributed
+    superstep crawl (operators/walker.py, applyInPandas per walker, pinned
+    RNG protocol trwalkers.pas:859-997) must reproduce the sequential
+    oracle's crawl log row for row — same seed list, same politeness
+    budget, same follow/jump decisions, same seen-set verdicts.  The
+    oracle side is the pure-Python reference crawl embedded as VALUES;
+    tests/test_walk_parity.py additionally pins partitioning invariance
+    and checkpoint resume."""
+    from ..operators.walker import SparkCrawl
+    from ..sources import synth
+
+    corpus, cfg = _walk_order_setup()
+    sc = SparkCrawl(spark, cfg)
+    out = sc.run(synth.docs_df(spark, corpus), corpus.seeds, corpus.robots)
+    return out["crawl_log"].select(
+        "walker_id", "seq", "clock", "follow", "url", "http", "process",
+        "seen", "links_found",
+    )
