@@ -1,0 +1,72 @@
+"""Link-graph analytics over harvested links: in-degree and PageRank.
+
+The crawl's links sink (operators/export.links_sink, trwritetools'
+WriteLinks) emits (src_host, dst_host) edges; ranking hosts by link mass
+drives frontier prioritization (a rank-weighted `priority` replaces the
+uniform hash priority in frontier.harvest_links) and corpus-quality
+weighting downstream.
+
+``pagerank`` is the iterative original-paper formulation over hosts:
+
+    rank_{k+1}(v) = (1 - d) + d * sum_{u -> v} rank_k(u) / outdeg(u)
+
+expressed as K DataFrame join+groupBy rounds.  Each iteration is ONE
+shuffle on dst (the join with the static out-degree table broadcasts);
+lineage is truncated every iteration (localCheckpoint) so the plan stays
+flat at any K — on a cluster this becomes a parquet/Iceberg round table,
+like the walker's round files.  Deterministic given the edge set, so the
+driver oracle (q_pagerank) mirrors it as K unrolled SQL CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def in_degree(edges: DataFrame) -> DataFrame:
+    """(dst, in_degree) from an edge list (src, dst)."""
+    return edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` synchronous updates.
+
+    Nodes = union of srcs and dsts; initial rank 1.0.  Dangling nodes
+    (no out-edges) keep contributing nothing, matching the unnormalized
+    original formulation the SQL oracle mirrors."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(F.broadcast(outdeg), "src")
+            .join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

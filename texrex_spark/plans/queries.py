@@ -2249,3 +2249,72 @@ def q_crawl_order(spark, sf_dir):
         "walker_id", "seq", "clock", "follow", "url", "http", "process",
         "seen", "links_found",
     )
+
+
+_EDGE_SQL = """
+      SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7) % 13 AS VARCHAR) AS dst
+      FROM documents
+"""
+
+
+def _edges_df(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 11).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7) % 13).cast("string")).alias("dst"),
+    )
+
+
+@_register(
+    "q_link_indegree",
+    f"""
+    WITH edges AS ({_EDGE_SQL})
+    SELECT dst, COUNT(*) AS in_degree FROM edges GROUP BY dst
+    """,
+)
+def q_link_indegree(spark, sf_dir):
+    """Host in-degree over the harvested link graph (the links sink's
+    (src, dst) rows, trwritetools WriteLinks) — one partial-agg groupBy."""
+    from ..operators.linkgraph import in_degree
+
+    return in_degree(_edges_df(spark, sf_dir))
+
+
+def _pagerank_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH edges AS ({_EDGE_SQL})",
+        ", nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        ", outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        ", r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f", c{k} AS (SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS mass "
+            f"FROM edges e JOIN outdeg o ON e.src = o.src "
+            f"JOIN r{k-1} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f", r{k} AS (SELECT n.node, {1.0 - damping} + {damping} * "
+            f"COALESCE(c.mass, 0) AS rank FROM nodes n "
+            f"LEFT JOIN c{k} c ON n.node = c.node)"
+        )
+    parts.append(
+        f"SELECT node, ROUND(rank, 4) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+@_register("q_pagerank", _pagerank_sql(3))
+def q_pagerank(spark, sf_dir):
+    """Iterative PageRank over the host link graph
+    (operators/linkgraph.pagerank): K synchronous DataFrame rounds — one
+    dst-shuffle per round, broadcast out-degree, lineage truncated every
+    iteration — vs the identical K-times-unrolled SQL recurrence.  Ranks
+    feed frontier prioritization (rank-weighted priority instead of the
+    uniform hash)."""
+    from ..operators.linkgraph import pagerank
+
+    ranks = pagerank(_edges_df(spark, sf_dir), iterations=3)
+    return ranks.select("node", F.round("rank", 4).alias("rank"))
