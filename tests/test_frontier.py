@@ -180,3 +180,44 @@ def test_snapshot_resume_equivalence(spark, corpus, tmp_path):
     # time travel: snapshot 2's manifest still addressable after 4 commits
     m2 = second.catalog.manifest(2)
     assert m2["round"] == 1 and m2["extra"]["next_round"] == 2
+
+
+def test_rank_weighted_harvest_priorities(spark, corpus, tmp_path):
+    """set_host_ranks: links to higher-PageRank hosts get strictly lower
+    (earlier) priorities than links to lower-ranked or unranked hosts."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.frontier import FrontierConfig, FrontierScheduler
+    from texrex_spark.operators.linkgraph import pagerank
+
+    sched = FrontierScheduler(
+        spark, FrontierConfig(seen_partitions=2), str(tmp_path / "w")
+    )
+    docs = synth.docs_df(spark, corpus)
+    fetch = sched.prepare_docs(docs)
+    fetched = fetch.select(
+        "url_norm", F.lit(0).alias("priority"), F.lit(0).alias("depth"),
+        "doc_id", "links",
+    ).limit(40)
+
+    edges = (
+        fetch.select(F.col("doc_host").alias("src"), F.explode("links").alias("l"))
+        .select("src", F.regexp_extract("l.url", r"https?://([^/]+)/", 1).alias("dst"))
+        .where(F.col("dst") != "")
+    )
+    ranks = pagerank(edges, iterations=2)
+    sched.set_host_ranks(ranks)
+    out = sched.harvest_links(fetched, next_priority_base=0)
+    assert out.count() > 0
+    with_host = out.withColumn(
+        "host", F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    ).join(ranks.select(F.col("node").alias("host"), "rank"), "host", "left")
+    rows = with_host.select("rank", "priority").collect()
+    banded = sorted((r["priority"] // 1_000_000, -(r["rank"] or 0)) for r in rows)
+    # bands must be monotone: as priority band increases, rank never increases
+    best_rank_by_band = {}
+    for band, negrank in banded:
+        best_rank_by_band.setdefault(band, -negrank)
+    bands = sorted(best_rank_by_band)
+    ranks_seq = [best_rank_by_band[b] for b in bands]
+    assert all(a >= b - 1e-9 for a, b in zip(ranks_seq, ranks_seq[1:]))

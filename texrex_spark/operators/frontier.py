@@ -178,10 +178,36 @@ class FrontierScheduler:
             F.col("links"),
         ).where(F.col("url_norm") != "")
 
+    # optional (host, rank_pos) table set via set_host_ranks(): hosts with
+    # a better (lower) PageRank position schedule earlier within a round
+    host_rank_pos: DataFrame | None = None
+
+    def set_host_ranks(self, ranks: DataFrame) -> None:
+        """ranks: (node, rank) from operators/linkgraph.pagerank over a
+        prior crawl's link graph.  Converted to an integer band with a
+        windowless monotone map (band = min(999, floor(1000 / (1 + rank)))
+        — higher rank -> lower band -> scheduled earlier), so the mapping
+        is a map-only stage even at 10^7+ hosts; a global row_number here
+        would funnel the host table through one task."""
+        self.host_rank_pos = (
+            ranks.select(
+                F.col("node").alias("link_host"),
+                F.least(
+                    F.lit(999),
+                    F.floor(F.lit(1000.0) / (F.lit(1.0) + F.col("rank"))),
+                ).cast("int").alias("rank_pos"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
     def harvest_links(self, fetched: DataFrame, next_priority_base) -> DataFrame:
         """Explode fetched docs' links, apply the reference's scope filters
         (trwalkers.pas:802-817, link length trhtmlstripper.pas:150-153),
-        and emit new candidate URLs.  All Catalyst."""
+        and emit new candidate URLs.  All Catalyst.
+
+        With host ranks set (set_host_ranks), priority = base +
+        rank_pos * 1e6 + hash%1e6 — the PageRank band dominates, the hash
+        breaks ties inside a band; unranked hosts sort after ranked ones."""
         cfg = self.config
         allowed_relations = [
             rel
@@ -197,18 +223,33 @@ class FrontierScheduler:
             F.col("priority").alias("parent_priority"),
             F.explode("links").alias("l"),
         )
-        return (
+        out = (
             links.where(F.col("l.relation").isin(allowed_relations))
             .where(F.length("l.url").between(cfg.min_link_len, cfg.max_link_len))
             .select(
                 F.col("l.url").alias("url"),
-                (
-                    F.lit(next_priority_base)
-                    + F.abs(F.xxhash64("l.url")) % F.lit(1_000_000_000)
-                ).alias("priority"),
                 (F.col("depth") + 1).alias("depth"),
             )
             .where(F.col("depth") <= cfg.max_depth)
+        )
+        if self.host_rank_pos is not None:
+            out = out.withColumn(
+                "link_host", urlnorm.extract_host_col(urlnorm.canonicalize_col(F.col("url")))
+            ).join(F.broadcast(self.host_rank_pos), "link_host", "left")
+            prio = (
+                F.lit(next_priority_base)
+                + F.coalesce(F.col("rank_pos"), F.lit(1000)).cast("long")
+                * F.lit(1_000_000)
+                + F.abs(F.xxhash64("url")) % F.lit(1_000_000)
+            )
+            return out.select("url", prio.alias("priority"), "depth")
+        return out.select(
+            "url",
+            (
+                F.lit(next_priority_base)
+                + F.abs(F.xxhash64("url")) % F.lit(1_000_000_000)
+            ).alias("priority"),
+            "depth",
         )
 
     # -- the superstep loop ------------------------------------------------
