@@ -2318,3 +2318,56 @@ def q_pagerank(spark, sf_dir):
 
     ranks = pagerank(_edges_df(spark, sf_dir), iterations=3)
     return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
+@_register(
+    "q_host_metrics",
+    f"""
+    WITH log AS (
+      SELECT * FROM {fixtures.sql_values(
+        _walk_order_rows(),
+        ["walker_id", "seq", "clock", "follow", "url", "http", "process",
+         "seen", "links_found"],
+      )}
+    ),
+    hosted AS (
+      SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host, *
+      FROM log WHERE url != ''
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS fetches,
+           CAST(SUM(CASE WHEN http = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS oks,
+           CAST(SUM(CASE WHEN process = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+             AS valid_docs,
+           CAST(SUM(links_found) AS BIGINT) AS links_found
+    FROM hosted GROUP BY host
+    """,
+)
+def q_host_metrics(spark, sf_dir):
+    """Per-host fetch/clean metrics rolled up from the crawl log (the
+    north rule's metrics table; reference: walk statistics,
+    trwalkers.pas stats + statswatcher.inc) — the distributed crawl's
+    log aggregated per host vs the same rollup over the sequential
+    oracle's log."""
+    from ..operators.walker import SparkCrawl
+    from ..sources import synth
+
+    corpus, cfg = _walk_order_setup()
+    sc = SparkCrawl(spark, cfg)
+    out = sc.run(synth.docs_df(spark, corpus), corpus.seeds, corpus.robots)
+    log = out["crawl_log"].where(F.col("url") != "")
+    return (
+        log.select(
+            F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+            "http", "process", "links_found",
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("fetches"),
+            F.sum(F.when(F.col("http") == "ok", 1).otherwise(0)).alias("oks"),
+            F.sum(F.when(F.col("process") == "valid", 1).otherwise(0)).alias(
+                "valid_docs"
+            ),
+            F.sum("links_found").alias("links_found"),
+        )
+    )
