@@ -174,3 +174,43 @@ def test_cli_crawl_cuckoo_seen_filter(spark, tmp_path):
     bucket = sorted(glob.glob(f"{work}/seen/bucket-*.pkl"))[0]
     with open(bucket, "rb") as f:
         assert pickle.load(f)["kind"] == "cuckoo"
+
+
+def test_cli_hydra_rofl_arcxi(spark, tmp_path):
+    """The remaining reference binaries as subcommands: hydra (unigram
+    de-hyphenation), rofl (run-on resplit with the reference's shipped
+    word lists), arcxi (TARC random-access extraction as filter+select)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "txt")
+    spark.createDataFrame(
+        [(1, "zei- tung lesen"), (2, "the end.This continues here"), (3, "plain line")],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+
+    uni = str(tmp_path / "uni.txt")
+    with open(uni, "w") as f:
+        f.write("zeitung\t50\nzei\t1\ntung\t1\nlesen\t10\n")
+    hydra_out = str(tmp_path / "hydra_out")
+    assert cli_main(["hydra", "--input", src, "--output", hydra_out,
+                     "--unigrams", uni]) == 0
+    texts = {r.doc_id: r.text for r in spark.read.parquet(hydra_out).collect()}
+    assert texts[1] == "zeitung lesen"
+
+    if os.path.exists("/root/reference/data/en.words"):
+        rofl_out = str(tmp_path / "rofl_out")
+        assert cli_main(["rofl", "--input", src, "--output", rofl_out]) == 0
+        texts = {r.doc_id: r.text for r in spark.read.parquet(rofl_out).collect()}
+        assert "end. This" in texts[2]
+
+    tarc = str(tmp_path / "tarc")
+    spark.createDataFrame(
+        [(1, "http://a.example/x", bytearray(b"<html>a</html>"), 14),
+         (2, "http://b.example/y", bytearray(b"<html>b</html>"), 14)],
+        "doc_id bigint, url string, raw binary, raw_length int",
+    ).write.parquet(tarc)
+    ax_out = str(tmp_path / "ax_out")
+    assert cli_main(["arcxi", "--input", tarc, "--output", ax_out,
+                     "--ids", "2"]) == 0
+    rows = spark.read.parquet(ax_out).collect()
+    assert len(rows) == 1 and rows[0].html == "<html>b</html>"

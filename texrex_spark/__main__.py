@@ -140,6 +140,73 @@ def cmd_cowsplit(args) -> int:
     return 0
 
 
+def cmd_hydra(args) -> int:
+    """De-hyphenation over a text column (the hydra binary,
+    src/programs/hydra.pas): unigram-probability decisions per line."""
+    from pyspark.sql import functions as F
+
+    from .clean.hydra import Unigrams, hydra_udf
+
+    spark, owns = _spark(args.cpus)
+    with open(args.unigrams, encoding="utf-8", errors="replace") as f:
+        uni = Unigrams.parse(f.read())
+    bc = spark.sparkContext.broadcast(uni)
+    df = spark.read.parquet(args.input)
+    out = df.withColumn(args.text_col, hydra_udf(bc, args.german)(F.col(args.text_col)))
+    out.write.mode("overwrite").parquet(args.output)
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_rofl(args) -> int:
+    """Run-together-token fixing (the rofl binary,
+    src/programs/rofl.pas): greedy longest-known-word resplit with
+    prefix/suffix ignore lists."""
+    from pyspark.sql import functions as F
+
+    from . import refdata
+    from .clean.rofl import rofl_udf
+
+    spark, owns = _spark(args.cpus)
+    words = refdata.load_words(args.words, args.data_dir)
+    pre = refdata.load_words("prefixes.ignore", args.data_dir)
+    suf = refdata.load_words("suffixes.ignore", args.data_dir)
+    sc = spark.sparkContext
+    df = spark.read.parquet(args.input)
+    out = df.withColumn(
+        args.text_col,
+        rofl_udf(sc.broadcast(set(words)), sc.broadcast(set(pre)),
+                 sc.broadcast(set(suf)))(F.col(args.text_col)),
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_arcxi(args) -> int:
+    """Random-access extraction from a TARC table (the arcxi binary,
+    src/programs/arcxi.pas): on columnar storage the offset bookkeeping
+    becomes a pushed-down filter + select."""
+    from pyspark.sql import functions as F
+
+    spark, owns = _spark(args.cpus)
+    df = spark.read.parquet(args.input)
+    if args.ids:
+        wanted = [s.strip() for s in args.ids.split(",") if s.strip()]
+        df = df.where(F.col("doc_id").cast("string").isin(wanted))
+    if args.url_like:
+        df = df.where(F.col("url").like(args.url_like))
+    out = df.select(
+        "doc_id", "url", F.decode(F.col("raw"), "UTF-8").alias("html")
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    if owns:
+        spark.stop()
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources import synth
 
@@ -247,6 +314,29 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--output", required=True)
     cs.add_argument("--max-records", type=int, default=100_000)
     cs.set_defaults(fn=cmd_cowsplit)
+
+    hy = sub.add_parser("hydra", help="de-hyphenate a text column (hydra binary)")
+    hy.add_argument("--input", required=True)
+    hy.add_argument("--output", required=True)
+    hy.add_argument("--unigrams", required=True, help="unigram count file")
+    hy.add_argument("--text-col", default="text")
+    hy.add_argument("--german", action="store_true")
+    hy.set_defaults(fn=cmd_hydra)
+
+    ro = sub.add_parser("rofl", help="fix run-together tokens (rofl binary)")
+    ro.add_argument("--input", required=True)
+    ro.add_argument("--output", required=True)
+    ro.add_argument("--words", default="en.words")
+    ro.add_argument("--data-dir", help="dir with word/ignore lists")
+    ro.add_argument("--text-col", default="text")
+    ro.set_defaults(fn=cmd_rofl)
+
+    ax = sub.add_parser("arcxi", help="extract docs from a TARC table (arcxi binary)")
+    ax.add_argument("--input", required=True)
+    ax.add_argument("--output", required=True)
+    ax.add_argument("--ids", help="comma-separated doc ids")
+    ax.add_argument("--url-like", help="SQL LIKE pattern on url")
+    ax.set_defaults(fn=cmd_arcxi)
 
     sy = sub.add_parser("synth", help="generate a deterministic synthetic web")
     sy.add_argument("--output", required=True)
