@@ -2371,3 +2371,59 @@ def q_host_metrics(spark, sf_dir):
             F.sum("links_found").alias("links_found"),
         )
     )
+
+
+def _pq_setup():
+    import numpy as np
+
+    from ..operators.pq import train_codebooks
+
+    # deterministic templates: 32 train vectors + 5 probe vectors, dim 64
+    rng = np.random.default_rng(20260816)
+    train = rng.standard_normal((32, 64))
+    probes = rng.standard_normal((5, 64))
+    books = train_codebooks(train, m=8, k=16, iterations=2)
+    return books, probes
+
+
+def _pq_code_rows():
+    from ..operators.pq import encode_batch
+
+    books, probes = _pq_setup()
+    codes = encode_batch(probes, books)
+    return [
+        (t, j, int(codes[t, j])) for t in range(len(probes)) for j in range(8)
+    ]
+
+
+@_register(
+    "q_pq_codes",
+    f"""
+    SELECT d.doc_id, e.j, e.code
+    FROM documents d
+    JOIN {fixtures.sql_values(_pq_code_rows(), ["tpl", "j", "code"])}
+      ON d.doc_id % 5 = e.tpl
+    """,
+)
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (Jegou et al. 2011; operators/pq.py):
+    deterministic codebooks (seeded Lloyd on a fixed sample), the
+    DISTRIBUTED map-only Arrow encode pass vs the local-kernel snapshot.
+    The 8-byte codes are the 32x-compressed storage tier under ADC search
+    (pq_topk; recall contract in tests/test_pq.py)."""
+    from ..operators.pq import pq_encode
+
+    books, probes = _pq_setup()
+    docs = _t(spark, sf_dir, "documents")
+    vec = F.element_at(
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in p]) for p in probes
+        ]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    src = docs.select(F.col("doc_id").cast("long").alias("vec_id"), vec.alias("v"))
+    enc = pq_encode(src, books, vec_col="v", id_col="vec_id")
+    return enc.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode("codes").alias("j", "code"),
+    )
