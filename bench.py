@@ -39,6 +39,7 @@ HEADLINE = [
     "q_simhash_neardup",
     "q_sessionize",
     "q_ann_ivf",
+    "q_pagerank",
 ]
 
 
