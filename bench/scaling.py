@@ -29,6 +29,25 @@ sys.path.insert(0, REPO)
 N_URLS = int(os.environ.get("SCALING_URLS", "2000000"))
 N_HOSTS = max(N_URLS // 2000, 16)
 RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+# Pre-run quiet gate: the sandbox host shows external load waves (1-min
+# loadavg 7-20 with zero local processes, minutes apart).  Starting a
+# measured run inside a wave poisons it, and min-of-N can't recover if
+# EVERY run of a config lands in the same wave.  So before each measured
+# run we wait for the 1-min load to decay below the gate (bounded; the
+# decay also flushes our own previous run's contribution, making
+# load-after an interference signal rather than a self-load echo).
+LOAD_GATE = float(os.environ.get("SCALING_LOAD_GATE", "3.0"))
+GATE_TIMEOUT = float(os.environ.get("SCALING_GATE_TIMEOUT", "420"))
+
+
+def wait_quiet(gate: float = LOAD_GATE, timeout: float = GATE_TIMEOUT) -> float:
+    """Block until 1-min loadavg < gate or timeout; return the load seen."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= gate and time.time() - t0 < timeout:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return round(load, 1)
 
 
 def run_config(cores: int) -> dict:
@@ -101,7 +120,9 @@ def run_config(cores: int) -> dict:
     one_run()  # JVM/Python-worker warmup, discarded
     times = []
     loads = []
+    loads_before = []
     for _ in range(RUNS):
+        loads_before.append(wait_quiet())
         times.append(one_run())
         loads.append(round(os.getloadavg()[0], 1))
     spark.stop()
@@ -111,6 +132,7 @@ def run_config(cores: int) -> dict:
         "cores": cores,
         "urls": N_URLS,
         "times_sec": [round(t, 2) for t in times],
+        "load_avg_before_each": loads_before,
         "load_avg_after_each": loads,
         "median_sec": round(med, 3),
         "min_sec": round(best, 3),
@@ -141,6 +163,7 @@ def measure_ceiling() -> dict:
     for n in (8, 32):
         with Pool(n) as p:
             p.map(_ceiling_work, range(n))  # warmup
+            wait_quiet()  # same interference gate as the measured job
             t0 = time.time()
             p.map(_ceiling_work, range(64))
             out[n] = time.time() - t0
@@ -198,6 +221,33 @@ def main() -> None:
 
     if os.environ.get("SCALING_NO_WRITE"):
         return
+    # Preserve the hand-curated cross-session history section (if present)
+    # and append this window's row to its table, so re-running the harness
+    # never erases the measurement record.
+    bench_path = os.path.join(REPO, "BENCH.md")
+    history = ""
+    marker = "## Cross-session measurement history"
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            old = f.read()
+        idx = old.find(marker)
+        if idx >= 0:
+            history = old[idx:]
+            label = os.environ.get("SCALING_LABEL", "round 2, auto window")
+            new_row = (
+                f"| {label} | {N_URLS // 1_000_000}M | {RUNS}, min "
+                f"| {summary['speedup_4x_cores']}x | {eff} "
+                f"| {ceiling['efficiency']} | {norm} |\n"
+            )
+            lines = history.splitlines(keepends=True)
+            last_tbl = max(
+                (i for i, ln in enumerate(lines) if ln.startswith("| ")),
+                default=None,
+            )
+            if last_tbl is not None:
+                lines.insert(last_tbl + 1, new_row)
+                history = "".join(lines)
+        history = "\n" + history if history else ""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(
             "# BENCH — frontier scaling evidence (N vs 4N parallelism)\n\n"
@@ -248,7 +298,7 @@ def main() -> None:
             "pipeline scales better on this VM than a zero-coordination "
             "process pool — the extra task waves at 8 cores overlap I/O "
             "and Python-worker startup that the 32-core run pays serially "
-            "once.\n"
+            "once.\n" + history
         )
 
 
