@@ -2149,6 +2149,83 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def _real_media_rows():
+    from ..operators.multimodal import (
+        audio_feature_row, feature_row, synth_real_media_row,
+    )
+
+    rows = []
+    for k in range(8):
+        m = synth_real_media_row(f"media/{k}")
+        if m["kind"] == "audio":
+            a = audio_feature_row(m["media_ref"], m["payload"])
+            rows.append((k, m["media_ref"], m["meta"]["mime"], "audio",
+                         a["n_samples"], a["channels"], round(a["rms"], 4)))
+        else:
+            f = feature_row(m["media_ref"], m["payload"], m["meta"])
+            rows.append((k, m["media_ref"], m["meta"]["mime"], "image",
+                         f["width"], f["height"],
+                         round(f["mean_intensity"], 4)))
+    return rows
+
+
+@_register(
+    "q_media_decode",
+    f"""
+    SELECT d.doc_id, e.media_ref, e.mime, e.kind, e.dim_a, e.dim_b, e.stat
+    FROM documents d
+    JOIN {fixtures.sql_values(
+        _real_media_rows(),
+        ["tpl", "media_ref", "mime", "kind", "dim_a", "dim_b", "stat"],
+    )}
+      ON d.doc_id % 8 = e.tpl
+    """,
+)
+def q_media_decode(spark, sf_dir):
+    """REAL byte-level codecs (pure numpy/stdlib, multimodal.py): PGM,
+    PPM, uncompressed 24-bit BMP, and PCM WAV payloads synthesized by the
+    matching encoders, decoded and featured through the distributed
+    mapInPandas path, vs the local-kernel snapshot.  Images report
+    (width, height, mean luma); audio reports (n_samples, channels,
+    RMS).  Compressed mimes (JPEG/PNG/MP4) stay NotImplementedError —
+    their codec libraries are not in this container."""
+    from ..operators.multimodal import (
+        extract_audio_features, extract_features, synth_real_media_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = F.concat(F.lit("media/"), (F.col("doc_id") % 8).cast("string"))
+    spans = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"), F.lit("").alias("text"),
+                ref.alias("media_ref"), F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    media = synth_real_media_df(spark, spans).cache()
+    img = extract_features(media.where(F.col("kind") == "image")).select(
+        "media_ref",
+        F.col("width").alias("dim_a"), F.col("height").alias("dim_b"),
+        F.round("mean_intensity", 4).alias("stat"),
+    )
+    aud = extract_audio_features(media).select(
+        "media_ref",
+        F.col("n_samples").alias("dim_a"), F.col("channels").alias("dim_b"),
+        F.round("rms", 4).alias("stat"),
+    )
+    feats = img.unionByName(aud)
+    meta = media.select(
+        "media_ref", "kind", F.col("meta.mime").alias("mime")
+    )
+    refs = docs.select("doc_id", ref.alias("media_ref"))
+    return (
+        refs.join(F.broadcast(feats.join(meta, "media_ref")), "media_ref")
+        .select("doc_id", "media_ref", "mime", "kind", "dim_a", "dim_b", "stat")
+    )
+
+
 @_register(
     "q_embed_quantize",
     """
