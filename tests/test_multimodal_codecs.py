@@ -136,3 +136,39 @@ def test_resize_images_preserves_format(spark, real_media):
     for r in out:
         img = mm.decode(bytes(r["payload"]), r["meta"].asDict())
         assert img.shape == (6, 8)
+
+
+# ---------------- video frame sampling (PNM stream) ----------------
+
+
+def test_pnm_stream_roundtrip():
+    rng = _rng()
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(7)]
+    out = mm.decode_pnm_stream(mm.encode_pnm_stream(frames))
+    assert len(out) == 7
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_sample_frames_distributed(spark):
+    rng = _rng()
+    vids = []
+    for v in range(3):
+        frames = [rng.integers(0, 256, (4, 4, 3), dtype=np.uint8) for _ in range(10)]
+        vids.append(
+            {
+                "media_ref": f"vid/{v}", "kind": "video",
+                "payload": mm.encode_pnm_stream(frames),
+                "meta": {"width": 4, "height": 4, "duration_ms": 400,
+                         "mime": "video/x-pnm-stream"},
+            }
+        )
+    media = spark.createDataFrame(vids, mm.MEDIA_SCHEMA)
+    sampled = mm.sample_frames(media, every_k=3).collect()
+    # 10 frames, every 3rd -> indices 0,3,6,9 = 4 per video
+    assert len(sampled) == 12
+    refs = {r["media_ref"] for r in sampled}
+    assert "vid/0#0" in refs and "vid/2#9" in refs
+    # sampled frames feed the image pipeline unchanged
+    feats = mm.extract_features(spark.createDataFrame(sampled, mm.MEDIA_SCHEMA)).collect()
+    assert len(feats) == 12

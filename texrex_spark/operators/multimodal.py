@@ -390,6 +390,56 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(work, MEDIA_SCHEMA)
 
 
+def encode_pnm_stream(frames: list[np.ndarray]) -> bytes:
+    """Concatenated binary PPM frames (a netpbm stream — the classic
+    uncompressed video interchange format, e.g. ffmpeg's image2pipe
+    ppm output)."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_pnm_stream(payload: bytes) -> list[np.ndarray]:
+    """All frames of a concatenated-PPM stream."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        _, w, h, data = _parse_pnm_header(payload[off:])
+        end = data + w * h * 3
+        frames.append(decode_ppm(payload[off : off + end]))
+        off += end
+    return frames
+
+
+def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
+    """Frame-sampling stage for video payloads (mime video/x-pnm-stream):
+    decode the stream, keep every k-th frame, and emit each kept frame as
+    its own single-image media row (``media_ref#<frame_idx>``) so the
+    whole image pipeline (features, resize, near-dup) applies downstream.
+    Real byte-level parsing; compressed containers (MP4 etc.) would slot
+    into the same kernel via av."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload, meta in zip(pdf["media_ref"], pdf["payload"], pdf["meta"]):
+                if meta["mime"] != "video/x-pnm-stream":
+                    continue
+                for i, frame in enumerate(decode_pnm_stream(bytes(payload))):
+                    if i % every_k:
+                        continue
+                    h, w, _ = frame.shape
+                    rows.append(
+                        {
+                            "media_ref": f"{ref}#{i}", "kind": "image",
+                            "payload": encode_ppm(frame),
+                            "meta": {"width": w, "height": h, "duration_ms": 0,
+                                     "mime": "image/x-portable-pixmap"},
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "payload", "meta"])
+
+    return media.mapInPandas(work, MEDIA_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Nearest-neighbor resize through the stub decoder — the shape of a
     real resize stage (decode -> transform -> re-encode bytes)."""
