@@ -142,6 +142,22 @@ def test_ivf_plan_no_cartesian_on_candidates(emb):
     assert "CartesianProduct" not in plan
 
 
+def test_sessionize_catalyst_equals_engine(spark, sf_dir):
+    """The pure-Catalyst twin (lag -> running sum -> groupBy) must emit
+    exactly the engine kernel's sessions, with ONE exchange and zero
+    Python boundaries in its physical plan."""
+    from texrex_spark.operators.sessionize import sessionize_catalyst
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["user_id", "session_id", "n_events", "start_s", "end_s"]
+    a = sorted(tuple(r) for r in sessionize(ev).select(cols).collect())
+    b = sorted(tuple(r) for r in sessionize_catalyst(ev).select(cols).collect())
+    assert a == b
+    plan = sessionize_catalyst(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "InPandas" not in plan
+
+
 def test_sessionize_plan_prunes_scan(spark, sf_dir):
     """The events scan under sessionize must read ONLY (user_id, ts) —
     the pandas exchange is the narrow projection, never the full row."""

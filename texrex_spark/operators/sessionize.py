@@ -71,3 +71,40 @@ def sessionize(
         return sessionize_pdf(pdf, gap_sec)
 
     return src.groupBy("user_id").applyInPandas(work, SESSION_SCHEMA)
+
+
+def sessionize_catalyst(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pure-Catalyst twin of ``sessionize``: lag -> break flag -> running
+    sum -> groupBy, identical output.  Whole-stage-codegen end to end (no
+    Python boundary), and still exactly ONE shuffle: the window's
+    HashPartitioning(user_id) satisfies the groupBy(user_id, session_id)
+    clustering requirement, so Catalyst reuses the exchange.  Preferred
+    at scale when only the batch shape is needed; the applyInPandas
+    engine above is the pattern the applyInPandasWithState streaming
+    twin builds on."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    src = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_timestamp(F.col(ts_col)).alias("ts_s"),
+    )
+    brk = F.when(
+        F.lag("ts_s").over(w).isNull()
+        | (F.col("ts_s") - F.lag("ts_s").over(w) > gap_sec),
+        1,
+    ).otherwise(0)
+    return (
+        src.withColumn("session_id", F.sum(brk).over(w).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+        )
+    )

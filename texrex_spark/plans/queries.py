@@ -1750,6 +1750,20 @@ def q_sessionize(spark, sf_dir):
 
 
 @_register(
+    "q_sessionize_catalyst",
+    ORACLE_SQL["q_sessionize"],
+)
+def q_sessionize_catalyst(spark, sf_dir):
+    """The pure-Catalyst sessionization twin (lag -> running sum ->
+    groupBy, zero Python boundary, exchange reused between window and
+    agg) vs the same SQL oracle — pins engine == catalyst == SQL three
+    ways together with q_sessionize."""
+    from ..operators.sessionize import sessionize_catalyst
+
+    return sessionize_catalyst(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
+@_register(
     "q_ann_ivf",
     """
     WITH emb AS (
