@@ -207,6 +207,32 @@ def cmd_arcxi(args) -> int:
     return 0
 
 
+def cmd_tenet(args) -> int:
+    """Boilerplate-net training (the tenet binary, src/programs/tenet.pas):
+    iRPROP- on a FANN .dat file, FANN_FLO_2.1 output loadable by the clean
+    chain's --net (and by libfann).  Local numpy by design — training data
+    is driver-sized; inference is the distributed path."""
+    import numpy as np
+
+    from .train.tenet import TrainData, to_fann_text, train_net
+
+    with open(args.data, encoding="utf-8") as f:
+        data = TrainData.parse(f.read())
+    if args.symmetric_targets:
+        data.y = data.y * 2.0 - 1.0  # 0/1 labels -> the symmetric output range
+    hidden = tuple(int(h) for h in args.hidden.split(",") if int(h) > 0)
+    net, trace = train_net(
+        data, hidden=hidden, epochs=args.epochs,
+        desired_error=args.error, seed=args.seed,
+    )
+    with open(args.output, "w", encoding="utf-8") as f:
+        f.write(to_fann_text(net))
+    acc = float(np.mean((net.run(data.x) > 0.0) == (data.y[:, 0] > 0.0)))
+    print(f"mse {trace[0]:.4f} -> {trace[-1]:.4f} over {len(trace)} reports; "
+          f"train acc {acc:.3f}; net -> {args.output}")
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources import synth
 
@@ -337,6 +363,17 @@ def build_parser() -> argparse.ArgumentParser:
     ax.add_argument("--ids", help="comma-separated doc ids")
     ax.add_argument("--url-like", help="SQL LIKE pattern on url")
     ax.set_defaults(fn=cmd_arcxi)
+
+    tn = sub.add_parser("tenet", help="train a boilerplate net (the tenet binary)")
+    tn.add_argument("--data", required=True, help="FANN .dat training file")
+    tn.add_argument("--output", required=True, help="FANN_FLO_2.1 .net output")
+    tn.add_argument("--hidden", default="18", help="comma-separated hidden sizes")
+    tn.add_argument("--epochs", type=int, default=50_000)
+    tn.add_argument("--error", type=float, default=1e-4, help="target MSE")
+    tn.add_argument("--seed", type=int, default=7)
+    tn.add_argument("--symmetric-targets", action="store_true",
+                    help="map 0/1 labels to -1/1 (the shipped .dat files)")
+    tn.set_defaults(fn=cmd_tenet)
 
     sy = sub.add_parser("synth", help="generate a deterministic synthetic web")
     sy.add_argument("--output", required=True)
