@@ -151,6 +151,18 @@ def test_cli_synth_crawl_resume(spark, tmp_path):
     rounds = [m["round"] for m in json.load(open(f"{work}/metrics.json"))]
     assert rounds and rounds[0] >= 3  # counter carried across the resume
 
+    # status (the texcomm console counterpart): reads the same work dir,
+    # no Spark session, prints rounds + latest snapshot lineage
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli_main(["status", "--work-dir", work]) == 0
+    out = buf.getvalue()
+    assert "rounds completed : 2" in out  # resumed run rewrote metrics.json
+    assert "snapshot " in out and "frontier:" in out and "bucket bitmaps" in out
+
 
 def test_cli_crawl_cuckoo_seen_filter(spark, tmp_path):
     """--seen-filter cuckoo runs the scheduler on cuckoo buckets; the

@@ -207,6 +207,47 @@ def cmd_arcxi(args) -> int:
     return 0
 
 
+def cmd_status(args) -> int:
+    """Crawl monitoring (the texcomm binary, src/programs/texcomm.pas):
+    texcomm attaches to a RUNNING texrex over IPC and prints its
+    statswatcher counters; the batch counterpart reads the work dir's
+    snapshot catalog and per-round metrics — same numbers, no IPC,
+    no Spark session."""
+    import json as _json
+
+    from .operators.snapshots import SnapshotCatalog
+
+    metrics_path = os.path.join(args.work_dir, "metrics.json")
+    if os.path.exists(metrics_path):
+        with open(metrics_path, encoding="utf-8") as f:
+            rounds = _json.load(f)
+        tot_fetched = sum(r["fetched"] for r in rounds)
+        tot_sec = sum(r["elapsed_sec"] for r in rounds)
+        print(f"rounds completed : {len(rounds)}")
+        print(f"urls fetched     : {tot_fetched}")
+        if tot_sec:
+            print(f"mean throughput  : {sum(r['frontier'] for r in rounds) / tot_sec:,.0f} urls/s scheduled+deduped")
+        for r in rounds[-args.tail:]:
+            print(f"  round {r['round']}: frontier={r['frontier']} admitted={r['admitted']} "
+                  f"fetched={r['fetched']} next={r['next_frontier']} "
+                  f"({r['elapsed_sec']}s, {r['urls_per_sec']:,} urls/s)")
+    else:
+        print("no metrics.json (crawl not run or still in round 0)")
+    cat = SnapshotCatalog(os.path.join(args.work_dir, "snapshots"))
+    sid = cat.latest_id()
+    if sid is None:
+        print("snapshots        : none")
+        return 0
+    m = cat.manifest(sid)
+    print(f"snapshot         : id={sid} round={m['round']} "
+          f"(resume point: next_round={m.get('extra', {}).get('next_round')})")
+    for name, t in m.get("tables", {}).items():
+        print(f"  {name}: {t['rows']} rows")
+    if "seen" in m:
+        print(f"  seen-set: {m['seen']['buckets']} bucket bitmaps")
+    return 0
+
+
 def cmd_tenet(args) -> int:
     """Boilerplate-net training (the tenet binary, src/programs/tenet.pas):
     iRPROP- on a FANN .dat file, FANN_FLO_2.1 output loadable by the clean
@@ -363,6 +404,11 @@ def build_parser() -> argparse.ArgumentParser:
     ax.add_argument("--ids", help="comma-separated doc ids")
     ax.add_argument("--url-like", help="SQL LIKE pattern on url")
     ax.set_defaults(fn=cmd_arcxi)
+
+    st = sub.add_parser("status", help="crawl progress/metrics (the texcomm console)")
+    st.add_argument("--work-dir", required=True)
+    st.add_argument("--tail", type=int, default=5, help="show the last N rounds")
+    st.set_defaults(fn=cmd_status)
 
     tn = sub.add_parser("tenet", help="train a boilerplate net (the tenet binary)")
     tn.add_argument("--data", required=True, help="FANN .dat training file")
