@@ -233,3 +233,43 @@ def test_streaming_crawl_driver(spark, tmp_path):
     batch_sched.run(seeds, docs, robots, rounds=3)
     batch_fetched = batch_sched.seen.stats()["adds"]
     assert stream_fetched == batch_fetched
+
+
+def test_dedup_stream_matches_batch_key(spark, tmp_path):
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark on the Rabin
+    fingerprint) keeps exactly one survivor per distinct content, the
+    same key the batch perfect-dup detector uses."""
+    from texrex_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "sdocs")
+    rows = [
+        (1, "alpha beta gamma", "2024-01-01 00:00:01"),
+        (2, "alpha   beta\tgamma", "2024-01-01 00:00:02"),  # ws-normalized dup
+        (3, "delta epsilon", "2024-01-01 00:00:03"),
+        (4, "alpha beta gamma", "2024-01-01 00:00:04"),     # exact dup
+        (5, "zeta eta", "2024-01-01 00:00:05"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ingested_at", F.to_timestamp("ts")).drop("ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingested_at timestamp"
+    ).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sdedup").collect()
+    # 5 docs, 3 distinct contents (1/2/4 share a fingerprint)
+    assert len(out) == 3
+    assert len({r["fp"] for r in out}) == 3
+    surviving_texts = {" ".join(r["text"].split()) for r in out}
+    assert surviving_texts == {"alpha beta gamma", "delta epsilon", "zeta eta"}
