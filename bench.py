@@ -78,6 +78,17 @@ def warm(spark, sf_dir: str) -> None:
     ).save()
 
 
+def _wait_quiet(gate: float = 4.0, timeout: float = 180.0) -> None:
+    """Bounded wait for the 1-min loadavg to decay below the gate before a
+    timed run.  Our own 32-core phases push loadavg to ~10; exp(-t/60)
+    decay from 10 to 4 needs ~55 s, so 180 s also absorbs a moderate
+    external wave (decay from ~25 clears in ~110 s) without stalling the
+    driver's per-round bench run."""
+    t0 = time.time()
+    while os.getloadavg()[0] >= gate and time.time() - t0 < timeout:
+        time.sleep(5)
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from texrex_spark.plans.queries import QUERIES
 
@@ -108,9 +119,7 @@ def bench_clean_chain(spark, n_docs: int = 24000) -> dict:
     cfg = ChainConfig(use_assessment=False, shingle_hashes=100)
     times = []
     for _ in range(2):  # min of 2: one external host-load wave can't poison it
-        gate_t0 = time.time()
-        while os.getloadavg()[0] >= 4.0 and time.time() - gate_t0 < 90:
-            time.sleep(5)
+        _wait_quiet()
         t0 = time.time()
         clean_docs(df, cfg).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
@@ -183,7 +192,6 @@ def main() -> None:
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    work_dir = tempfile.mkdtemp(prefix="texrex-bench-")
     try:
         # Discarded warm-up (same methodology as bench/scaling.py): pay
         # JVM start, codegen, Arrow + Python-worker-pool spin-up once so
@@ -201,9 +209,7 @@ def main() -> None:
         # can't poison the one number the driver records.
         runs = []
         for _ in range(2):
-            gate_t0 = time.time()
-            while os.getloadavg()[0] >= 4.0 and time.time() - gate_t0 < 90:
-                time.sleep(5)
+            _wait_quiet()
             fdir = tempfile.mkdtemp(prefix="texrex-bench-frontier-")
             try:
                 runs.append(bench_frontier(spark, n_urls, fdir))
@@ -232,7 +238,6 @@ def main() -> None:
             )
         )
     finally:
-        shutil.rmtree(work_dir, ignore_errors=True)
         spark.stop()
 
 

@@ -77,8 +77,9 @@ def test_synth_real_media_row_covers_all_formats():
         kinds[row["meta"]["mime"]] += 1
         # every payload must decode through the public tier
         if row["kind"] == "audio":
-            s, _ = mm.decode_wav(bytes(row["payload"]))
-            assert s.shape[0] == row["meta"]["duration_ms"] * 0 + s.shape[0]
+            s, rate = mm.decode_wav(bytes(row["payload"]))
+            # meta duration must be consistent with the decoded samples
+            assert row["meta"]["duration_ms"] == int(s.shape[0] * 1000 / rate)
         else:
             img = mm.decode(bytes(row["payload"]), row["meta"])
             assert img.shape == (row["meta"]["height"], row["meta"]["width"])

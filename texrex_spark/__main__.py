@@ -227,7 +227,7 @@ def cmd_status(args) -> int:
         print(f"urls fetched     : {tot_fetched}")
         if tot_sec:
             print(f"mean throughput  : {sum(r['frontier'] for r in rounds) / tot_sec:,.0f} urls/s scheduled+deduped")
-        for r in rounds[-args.tail:]:
+        for r in (rounds[-args.tail:] if args.tail > 0 else []):
             print(f"  round {r['round']}: frontier={r['frontier']} admitted={r['admitted']} "
                   f"fetched={r['fetched']} next={r['next_frontier']} "
                   f"({r['elapsed_sec']}s, {r['urls_per_sec']:,} urls/s)")
@@ -268,7 +268,9 @@ def cmd_tenet(args) -> int:
     )
     with open(args.output, "w", encoding="utf-8") as f:
         f.write(to_fann_text(net))
-    acc = float(np.mean((net.run(data.x) > 0.0) == (data.y[:, 0] > 0.0)))
+    # decision threshold: 0 in the symmetric [-1,1] range, 0.5 for raw 0/1
+    thr = 0.0 if args.symmetric_targets else 0.5
+    acc = float(np.mean((net.run(data.x) > thr) == (data.y[:, 0] > thr)))
     print(f"mse {trace[0]:.4f} -> {trace[-1]:.4f} over {len(trace)} reports; "
           f"train acc {acc:.3f}; net -> {args.output}")
     return 0

@@ -2169,8 +2169,11 @@ def _real_media_rows():
     )
 
     rows = []
+    # prefix "m/": md5-hash picks over m/0..m/7 hit ALL FOUR codec
+    # branches (3x PPM, 3x PGM, 1x WAV, 1x BMP) — asserted below so a
+    # synth change can't silently drop a format from the oracle
     for k in range(8):
-        m = synth_real_media_row(f"media/{k}")
+        m = synth_real_media_row(f"m/{k}")
         if m["kind"] == "audio":
             a = audio_feature_row(m["media_ref"], m["payload"])
             rows.append((k, m["media_ref"], m["meta"]["mime"], "audio",
@@ -2180,6 +2183,10 @@ def _real_media_rows():
             rows.append((k, m["media_ref"], m["meta"]["mime"], "image",
                          f["width"], f["height"],
                          round(f["mean_intensity"], 4)))
+    assert {r[2] for r in rows} == {
+        "image/x-portable-graymap", "image/x-portable-pixmap",
+        "image/bmp", "audio/wav",
+    }, "q_media_decode fixture must exercise every real codec"
     return rows
 
 
@@ -2208,7 +2215,7 @@ def q_media_decode(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    ref = F.concat(F.lit("media/"), (F.col("doc_id") % 8).cast("string"))
+    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 8).cast("string"))
     spans = docs.select(
         "doc_id",
         F.array(

@@ -56,28 +56,31 @@ class TrainData:
 
 def _forward(weights, x, steep=0.5):
     """Activations per layer under the tenet defaults: tanh(s*z) hidden,
-    clip(s*z, -1, 1) output.  Returns [input, h1, ..., out] with bias
-    column appended to every non-output layer."""
+    clip(s*z, -1, 1) output.  Returns ([input, h1, ..., out], z_out) with
+    bias column appended to every non-output layer; z_out is the output
+    layer's raw preactivation (the backward pass needs it for the clip
+    derivative)."""
     acts = [np.hstack([x, np.ones((x.shape[0], 1))])]
+    z_out = None
     for li, w in enumerate(weights):
         z = acts[-1] @ w
         if li < len(weights) - 1:
             a = np.tanh(steep * z)
             acts.append(np.hstack([a, np.ones((a.shape[0], 1))]))
         else:
+            z_out = z
             acts.append(np.clip(steep * z, -1.0, 1.0))
-    return acts
+    return acts, z_out
 
 
 def _gradients(weights, x, y, steep=0.5):
     """Full-batch MSE gradients (d MSE / d w) and the batch MSE, FANN's
     definition: mean squared error over all output units and rows."""
-    acts = _forward(weights, x, steep)
+    acts, z_out = _forward(weights, x, steep)
     out = acts[-1]
     err = out - y
     mse = float(np.mean(err**2))
     # output: d clip(s*z)/dz = s inside the linear range, 0 when clipped
-    z_out = acts[-2] @ weights[-1]
     delta = 2.0 * err / err.size * np.where(np.abs(steep * z_out) < 1.0, steep, 0.0)
     grads = [None] * len(weights)
     for li in range(len(weights) - 1, -1, -1):
@@ -130,29 +133,68 @@ def train_net(
 
 
 def to_fann_text(net: FannNet) -> str:
-    """FANN_FLO_2.1 text serialization of a FannNet — loadable both by
-    libfann and by FannNet.parse (round-trip pinned in tests).  Layout
-    follows the shipped nets: every layer counts a bias neuron; input and
-    bias neurons have 0 inputs; the output layer's bias has none either."""
+    """FANN_FLO_2.1 text serialization of a FannNet, field-for-field the
+    layout libfann's fann_save writes and fann_create_from_file re-reads
+    (mirrored against the shipped data/boilerplate.de.net): the full
+    fixed-order header block, per-layer bias neurons, and connection
+    indices that are GLOBAL source-neuron ids restarting at the previous
+    layer's first neuron for every target neuron.  FannNet.parse reads it
+    back too (round-trip pinned in tests)."""
     sizes = net.layer_sizes
-    lines = ["FANN_FLO_2.1", "layer_sizes=" + " ".join(str(s) for s in sizes) + " "]
-    neurons, conns = [], []
-    for _ in range(sizes[0]):
-        neurons.append((0, 0, 0.0))
+    header = (
+        "FANN_FLO_2.1\n"
+        f"num_layers={len(sizes)}\n"
+        "learning_rate=0.700000\n"
+        "connection_rate=1.000000\n"
+        "network_type=0\n"
+        "learning_momentum=0.000000\n"
+        "training_algorithm=2\n"  # FANN_TRAIN_RPROP — what train_net implements
+        "train_error_function=1\n"
+        "train_stop_function=0\n"
+        "cascade_output_change_fraction=0.010000\n"
+        "quickprop_decay=-0.000100\n"
+        "quickprop_mu=1.750000\n"
+        "rprop_increase_factor=1.200000\n"
+        "rprop_decrease_factor=0.500000\n"
+        "rprop_delta_min=0.000000\n"
+        "rprop_delta_max=50.000000\n"
+        "rprop_delta_zero=0.100000\n"
+        "cascade_output_stagnation_epochs=12\n"
+        "cascade_candidate_change_fraction=0.010000\n"
+        "cascade_candidate_stagnation_epochs=12\n"
+        "cascade_max_out_epochs=150\n"
+        "cascade_max_cand_epochs=150\n"
+        "cascade_num_candidate_groups=2\n"
+        "bit_fail_limit=3.49999994039535522461e-01\n"
+        "cascade_candidate_limit=1.00000000000000000000e+03\n"
+        "cascade_weight_multiplier=4.00000005960464477539e-01\n"
+        "cascade_activation_functions_count=10\n"
+        "cascade_activation_functions=3 5 7 8 10 11 14 15 16 17 \n"
+        "cascade_activation_steepnesses_count=4\n"
+        "cascade_activation_steepnesses=2.50000000000000000000e-01 "
+        "5.00000000000000000000e-01 7.50000000000000000000e-01 "
+        "1.00000000000000000000e+00 \n"
+        "layer_sizes=" + " ".join(str(s) for s in sizes) + " \n"
+        "scale_included=0\n"
+    )
+    neurons: list[tuple[int, int, float]] = [(0, 0, 0.0)] * sizes[0]
+    conns: list[tuple[int, float]] = []
+    src_offset = 0
     for li, w in enumerate(net.weights):
         prev, real = w.shape
         act, steep = net.activations[li], net.steepness[li]
         for j in range(real):
             neurons.append((prev, act, steep))
-            conns.extend(w[:, j])
+            conns.extend((src_offset + k, w[k, j]) for k in range(prev))
         if sizes[li + 1] - real == 1:
-            neurons.append((0, 0, 0.0))  # bias neuron of this layer
-    lines.append(
-        "neurons (num_inputs, activation_function, activation_steepness)="
-        + "".join(f"({n}, {a}, {s:.8e}) " for n, a, s in neurons)
+            neurons.append((0, 0, 0.0))  # this layer's bias neuron
+        src_offset += sizes[li]
+    return (
+        header
+        + "neurons (num_inputs, activation_function, activation_steepness)="
+        + "".join(f"({n}, {a}, {s:.20e}) " for n, a, s in neurons)
+        + "\n"
+        + "connections (connected_to_neuron, weight)="
+        + "".join(f"({i}, {v:.20e}) " for i, v in conns)
+        + "\n"
     )
-    lines.append(
-        "connections (connected_to_neuron, weight)="
-        + "".join(f"({i}, {v:.8e}) " for i, v in enumerate(conns))
-    )
-    return "\n".join(lines) + "\n"
