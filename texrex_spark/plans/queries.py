@@ -1750,6 +1750,51 @@ def q_sessionize(spark, sf_dir):
 
 
 @_register(
+    "q_dedup_stream",
+    """
+    SELECT CAST(COUNT(DISTINCT regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                AS BIGINT) AS survivors
+    FROM documents
+    """,
+)
+def q_dedup_stream(spark, sf_dir):
+    """Streaming exact-dedup (streaming/dedup.py): the documents table
+    replayed as an availableNow file stream through
+    dropDuplicatesWithinWatermark on the Rabin fingerprint of
+    whitespace-normalized text; the oracle counts distinct normalized
+    texts — both sides must agree on how many perfect-duplicate classes
+    the corpus has.  (WHICH doc survives per class depends on micro-batch
+    arrival order, so the deterministic contract is the class count.)"""
+    import os
+    import tempfile
+
+    from ..streaming.dedup import dedup_stream
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias(
+            "ingested_at"
+        ),
+    )
+    src = tempfile.mkdtemp(prefix="texrex-sdedup-")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingested_at timestamp"
+    ).parquet(src)
+    name = "sdedup_" + os.path.basename(src).replace("-", "_")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT CAST(COUNT(*) AS BIGINT) AS survivors FROM {name}")
+
+
+@_register(
     "q_sessionize_catalyst",
     ORACLE_SQL["q_sessionize"],
 )
