@@ -226,11 +226,17 @@ def main() -> None:
     # never erases the measurement record.
     bench_path = os.path.join(REPO, "BENCH.md")
     history = ""
+    # Preserve from the EARLIEST hand-written section onward — the file's
+    # regenerated part is only the header + current-window + machine-ceiling
+    # + controls block; everything after (data-scaling table, history, ...)
+    # is curated and must survive a rerun.
+    markers = ("## Data scaling", "## Cross-session measurement history")
     marker = "## Cross-session measurement history"
     if os.path.exists(bench_path):
         with open(bench_path) as f:
             old = f.read()
-        idx = old.find(marker)
+        found = [i for i in (old.find(m) for m in markers) if i >= 0]
+        idx = min(found) if found else -1
         if idx >= 0:
             history = old[idx:]
             label = os.environ.get("SCALING_LABEL", "round 2, auto window")
