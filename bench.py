@@ -38,7 +38,7 @@ HEADLINE = [
     "q_range_join",
     "q_simhash_neardup",
     "q_sessionize",
-    "q_sessionize_catalyst",
+    "q_sessionize_kernel",
     "q_ann_ivf",
     "q_pagerank",
 ]

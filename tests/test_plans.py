@@ -138,3 +138,37 @@ def test_seenset_sizing_guardrail(tmp_path):
         str(tmp_path / "s2"), partitions=need, error_rate=1e-6,
         expected_urls=10**10,
     )
+
+
+def test_tecl_no_forced_blacklist_broadcast(spark):
+    """tecl must not hint broadcast on the near-dup blacklist — at 100 TB
+    a crawl loses 30-50% of docs to near-dup, so the blacklist is
+    10^8-10^9 ids; AQE decides at runtime instead."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.neardup import tecl
+
+    corpus = spark.range(0, 1000).select(F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    bl = spark.range(0, 100, 3).select(F.col("id").alias("doc_id"))
+    out = tecl(corpus, bl)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    assert out.count() == 1000 - 34
+
+
+def test_pagerank_no_forced_outdeg_broadcast(spark):
+    """pagerank must not hint broadcast on the out-degree table (one row
+    per linking host — 10^7-10^8 at the north rule's scale, multi-GB per
+    iteration if forced); AQE decides at runtime instead."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.linkgraph import pagerank
+
+    edges = spark.range(0, 200).select(
+        F.concat(F.lit("h"), (F.col("id") % 11).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("id") * 7) % 13).cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=2, checkpoint=False)
+    analyzed = ranks._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    assert ranks.count() == 13

@@ -143,17 +143,17 @@ def test_ivf_plan_no_cartesian_on_candidates(emb):
 
 
 def test_sessionize_catalyst_equals_engine(spark, sf_dir):
-    """The pure-Catalyst twin (lag -> running sum -> groupBy) must emit
-    exactly the engine kernel's sessions, with ONE exchange and zero
+    """The default (pure-Catalyst lag -> running sum -> groupBy) must
+    emit exactly the Arrow kernel's sessions, with ONE exchange and zero
     Python boundaries in its physical plan."""
-    from texrex_spark.operators.sessionize import sessionize_catalyst
+    from texrex_spark.operators.sessionize import sessionize_kernel
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     cols = ["user_id", "session_id", "n_events", "start_s", "end_s"]
-    a = sorted(tuple(r) for r in sessionize(ev).select(cols).collect())
-    b = sorted(tuple(r) for r in sessionize_catalyst(ev).select(cols).collect())
+    a = sorted(tuple(r) for r in sessionize_kernel(ev).select(cols).collect())
+    b = sorted(tuple(r) for r in sessionize(ev).select(cols).collect())
     assert a == b
-    plan = sessionize_catalyst(ev)._jdf.queryExecution().executedPlan().toString()
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "InPandas" not in plan
 

@@ -11,7 +11,8 @@ weighting downstream.
     rank_{k+1}(v) = (1 - d) + d * sum_{u -> v} rank_k(u) / outdeg(u)
 
 expressed as K DataFrame join+groupBy rounds.  Each iteration is ONE
-shuffle on dst (the join with the static out-degree table broadcasts);
+shuffle on dst (AQE may broadcast the static out-degree table when it is
+small; no forced hint — it is one row per linking host, unbounded);
 lineage is truncated every iteration (localCheckpoint) so the plan stays
 flat at any K — on a cluster this becomes a parquet/Iceberg round table,
 like the walker's round files.  Deterministic given the edge set, so the
@@ -48,7 +49,11 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            edges.join(F.broadcast(outdeg), "src")
+            # No broadcast hint on outdeg: it has one row per host with
+            # out-links (1e7-1e8 at the north rule's scale) — multi-GB, a
+            # driver-killer if forced per iteration.  AQE broadcasts it
+            # only when it is actually small.
+            edges.join(outdeg, "src")
             .join(ranks, edges.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),

@@ -94,7 +94,10 @@ def tecl(
 ) -> DataFrame:
     """Blacklist (anti) or whitelist (semi) filter + optional id dedup."""
     how = "left_semi" if white else "left_anti"
-    out = corpus.join(F.broadcast(bl), corpus[id_col] == bl["doc_id"], how)
+    # No broadcast hint: at 100 TB a near-dup blacklist is 1e8-1e9 ids
+    # (crawls lose 30-50% to near-dup), far past broadcast limits.  AQE
+    # picks broadcast at small scale and shuffle hash/SMJ at large scale.
+    out = corpus.join(bl, corpus[id_col] == bl["doc_id"], how)
     if uniq_ids:
         out = out.dropDuplicates([id_col])
     return out

@@ -5,11 +5,16 @@ The training-data primitive the reference's per-host crawl bookkeeping
 stream into "visits" separated by more than ``gap_sec`` of silence, and
 emit one row per session with its span and event count.
 
-Batch engine (``sessionize``): ONE shuffle on the natural key (user_id),
-then a vectorized numpy kernel per group inside ``applyInPandas`` — sort
-by timestamp, diff against the gap, cumulative-sum the break flags.  No
-per-row Python.  At 10^10 events this is the minimal-shuffle plan: the
-groupBy key is the session key, everything after the exchange is map-side.
+Batch engine (``sessionize``): pure Catalyst — lag -> break flag ->
+running sum -> groupBy — whole-stage-codegen end to end with exactly ONE
+shuffle on user_id (the window's HashPartitioning satisfies the groupBy
+clustering, so the exchange is reused).  5.5x faster than the Arrow
+kernel on identical input (BENCH_r02: 0.45 s vs 2.80 s at sf0.1), so it
+is the default every caller inherits.
+
+``sessionize_kernel`` keeps the vectorized-numpy ``applyInPandas``
+formulation (same output, pinned equal by the driver oracle): it is the
+batch shape the ``applyInPandasWithState`` streaming twin builds on.
 
 Streaming twin (streaming/sessionize.py): the same gap rule kept as
 per-user state in ``applyInPandasWithState``; closed sessions emit per
@@ -53,15 +58,17 @@ def sessionize_pdf(pdf: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
     )
 
 
-def sessionize(
+def sessionize_kernel(
     events: DataFrame,
     gap_sec: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Batch sessionization: (user_id, session_id, n_events, start_s,
-    end_s), one row per session, sessions numbered per user in time
-    order."""
+    """Arrow-kernel formulation: one shuffle on user_id, then the numpy
+    gap kernel per group inside ``applyInPandas``.  Output-identical to
+    ``sessionize`` (driver-oracled); kept as the parity story for the
+    applyInPandasWithState streaming twin, NOT the default — the
+    Catalyst plan below is 5.5x faster (no Python boundary)."""
     src = events.select(
         F.col(user_col).cast("long").alias("user_id"),
         F.unix_timestamp(F.col(ts_col)).alias("ts_s"),
@@ -73,20 +80,19 @@ def sessionize(
     return src.groupBy("user_id").applyInPandas(work, SESSION_SCHEMA)
 
 
-def sessionize_catalyst(
+def sessionize(
     events: DataFrame,
     gap_sec: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Pure-Catalyst twin of ``sessionize``: lag -> break flag -> running
-    sum -> groupBy, identical output.  Whole-stage-codegen end to end (no
-    Python boundary), and still exactly ONE shuffle: the window's
-    HashPartitioning(user_id) satisfies the groupBy(user_id, session_id)
-    clustering requirement, so Catalyst reuses the exchange.  Preferred
-    at scale when only the batch shape is needed; the applyInPandas
-    engine above is the pattern the applyInPandasWithState streaming
-    twin builds on."""
+    """Batch sessionization: (user_id, session_id, n_events, start_s,
+    end_s), one row per session, sessions numbered per user in time
+    order.  Pure Catalyst: lag -> break flag -> running sum -> groupBy.
+    Whole-stage-codegen end to end (no Python boundary), and exactly ONE
+    shuffle: the window's HashPartitioning(user_id) satisfies the
+    groupBy(user_id, session_id) clustering requirement, so Catalyst
+    reuses the exchange."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts_s")
@@ -108,3 +114,7 @@ def sessionize_catalyst(
             F.max("ts_s").alias("end_s"),
         )
     )
+
+
+# Back-compat alias from when the Catalyst plan was the secondary name.
+sessionize_catalyst = sessionize
