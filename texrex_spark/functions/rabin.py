@@ -99,7 +99,101 @@ class Rabin64:
         t3 = getattr(self, "_tables3", None)
         if t3 is None:
             t3 = self._tables3 = self.tables[None, :, :]
+        if mat.shape[1] == 0:
+            return np.zeros(mat.shape[0], dtype=np.uint64)
+        if (mat.shape[1] - mat.shape[1] % 8) // 8 <= _POS_BLOCK_CAP:
+            pos = getattr(self, "_pos", None)
+            if pos is None:
+                pos = self._pos = _PosTables(t3)
+            return _hash_matrix_bypos(mat, pos)[:, 0]
         return _hash_matrix_multi(mat, t3)[0]
+
+
+# Position-table layout (the fast batch path).  Rabin-64 is GF(2)-linear
+# in the input bytes: every byte's contribution to the final state is a
+# fixed linear 8->64-bit map determined only by (a) how many block steps
+# m the state undergoes after the byte enters and (b) the byte's lane u
+# within its entry word.  So
+#
+#     hash_p(key) = XOR_b  C_p[m(b), u(b)][ key[b] ]
+#
+# with C_p[m, u][v] = S_p^m(v * x^(8u)), S_p the per-block shift map the
+# 8x256 lane tables implement.  Hashing a batch of n equal-length keys
+# under P polynomials then costs ONE contiguous row-gather of shape
+# (n, P) per byte position — no per-lane index arithmetic, no scattered
+# u64 gathers — and measures ~4x faster than the block-serial kernel
+# below, which is kept as the differential-test oracle and the fallback
+# for very long keys (the C cache grows with the block count; capped at
+# _POS_BLOCK_CAP so a pathological key can't allocate unbounded tables).
+_POS_BLOCK_CAP = 64
+
+
+class _PosTables:
+    """Lazily grown per-position contribution tables for a (P,8,256)
+    lane-table stack.  C has shape (m_max+1, 8, 256, P), C[m, u] laid out
+    (256, P) so ``C[m, u][bytes]`` row-gathers the P contributions of a
+    whole byte column at once."""
+
+    def __init__(self, tables: np.ndarray):
+        self.tables = tables  # (P, 8, 256)
+        p = tables.shape[0]
+        v = np.arange(256, dtype=np.uint64)
+        c0 = np.empty((1, 8, 256, p), dtype=np.uint64)
+        for u in range(8):
+            c0[0, u, :, :] = (v << _U64(8 * u))[:, None]
+        self.c = c0
+        self._tabs_by_len: dict[int, list] = {}
+
+    def tabs_for(self, length: int) -> list:
+        """Per-byte (256, P) contribution views for one key length,
+        memoized (shingle streams revisit the same few lengths)."""
+        tabs = self._tabs_by_len.get(length)
+        if tabs is None:
+            starter = length % 8
+            nblocks = (length - starter) // 8
+            c = self.grown(nblocks)
+            tabs = [
+                c[nblocks, starter - 1 - b] if b < starter
+                else c[nblocks - 1 - (b - starter) // 8, 7 - (b - starter) % 8]
+                for b in range(length)
+            ]
+            self._tabs_by_len[length] = tabs
+        return tabs
+
+    def grown(self, m_max: int) -> np.ndarray:
+        while self.c.shape[0] <= m_max:
+            flat, pbase = _flat_layout(self.tables)
+            p = self.tables.shape[0]
+            w = self.c[-1].reshape(-1, p)  # (2048, P)
+            s = np.zeros_like(w)
+            idx = np.empty(w.shape, dtype=np.intp)
+            for t in range(8):
+                lane = (w >> _U64(8 * t)) & _U64(0xFF)
+                np.add(lane.astype(np.intp), pbase.T, out=idx)
+                s ^= flat[t][idx]
+            self.c = np.concatenate((self.c, s.reshape(1, 8, 256, p)))
+        return self.c
+
+
+def _hash_matrix_bypos(
+    mat: np.ndarray, pos: _PosTables, chunk: int = 2048
+) -> np.ndarray:
+    """Hash a (n, L) uint8 matrix under P polynomials -> (n, P) uint64
+    via the per-position contribution tables (bit-identical to
+    _hash_matrix_multi; differentially tested)."""
+    n, length = mat.shape
+    p = pos.tables.shape[0]
+    # per-byte (m, u): starter byte b enters at lane (starter-1-b) and
+    # sees all nblocks shifts; block-k byte sees nblocks-k shifts.
+    tabs = pos.tabs_for(length)
+    out = np.empty((n, p), dtype=np.uint64)
+    for s in range(0, n, chunk):
+        sl = mat[s : s + chunk]
+        acc = tabs[0][sl[:, 0]]
+        for b in range(1, length):
+            acc ^= tabs[b][sl[:, b]]
+        out[s : s + chunk] = acc
+    return out
 
 
 # Flattened per-lane table layout cache: id(tables) -> (8 x (P*256,) flat
@@ -182,6 +276,7 @@ class HashProvider:
             raise ValueError(f"at most {len(POLYS64)} deterministic hash functions")
         self.n = n
         self.tables = np.stack([_build_tables(POLYS64[i]) for i in range(n)])
+        self._pos = _PosTables(self.tables)
 
     def hash(self, data: bytes, index: int) -> int:
         mat = np.frombuffer(data, dtype=np.uint8)[None, :]
@@ -217,8 +312,11 @@ class HashProvider:
                 continue  # empty key hashes to 0 under this scheme
             mat = np.frombuffer(b"".join(keys[i] for i in idxs), dtype=np.uint8)
             mat = mat.reshape(len(idxs), length)
-            hashes = _hash_matrix_multi(mat, self.tables)  # (P, n_group)
-            out[np.asarray(idxs), :] = hashes.T
+            if (length - length % 8) // 8 <= _POS_BLOCK_CAP:
+                out[np.asarray(idxs), :] = _hash_matrix_bypos(mat, self._pos)
+            else:
+                hashes = _hash_matrix_multi(mat, self.tables)  # (P, n_group)
+                out[np.asarray(idxs), :] = hashes.T
         if dup_dst:
             out[np.asarray(dup_dst), :] = out[np.asarray(dup_src), :]
         return out
