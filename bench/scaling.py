@@ -245,14 +245,34 @@ def main() -> None:
                 f"| {summary['speedup_4x_cores']}x | {eff} "
                 f"| {ceiling['efficiency']} | {norm} |\n"
             )
+            # Anchor on the history SECTION: insert after the last table
+            # row between its heading and the next heading (or EOF), so a
+            # later curated section containing a table can never receive
+            # the row by accident.
             lines = history.splitlines(keepends=True)
-            last_tbl = max(
-                (i for i, ln in enumerate(lines) if ln.startswith("| ")),
-                default=None,
+            sec_start = next(
+                (i for i, ln in enumerate(lines) if ln.startswith(marker)), None
             )
-            if last_tbl is not None:
-                lines.insert(last_tbl + 1, new_row)
-                history = "".join(lines)
+            if sec_start is not None:
+                sec_end = next(
+                    (
+                        i
+                        for i in range(sec_start + 1, len(lines))
+                        if lines[i].startswith("## ")
+                    ),
+                    len(lines),
+                )
+                last_tbl = max(
+                    (
+                        i
+                        for i in range(sec_start, sec_end)
+                        if lines[i].startswith("| ")
+                    ),
+                    default=None,
+                )
+                if last_tbl is not None:
+                    lines.insert(last_tbl + 1, new_row)
+                    history = "".join(lines)
         history = "\n" + history if history else ""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(

@@ -99,3 +99,25 @@ def test_seenset_bloom_retract_raises(spark, tmp_path):
     ss.check_and_add(urls).count()
     with pytest.raises(Exception):
         ss.retract(urls).count()
+
+
+def test_seenset_retract_flags_all_duplicate_rows(spark, tmp_path):
+    """Duplicate url_norm values in a retract batch delete ONE stored
+    copy but every row carrying that URL gets deleted=true, so row
+    counts over the flag are stable under input duplication."""
+    from texrex_spark.operators.seenset import PartitionedSeenSet
+
+    ss = PartitionedSeenSet(
+        str(tmp_path / "seen"), partitions=2,
+        filter_kind="cuckoo", cuckoo_capacity_per_bucket=1000,
+    )
+    urls = spark.range(20).select(
+        F.concat(F.lit("http://dup.example/"), F.col("id").cast("string")).alias(
+            "url_norm"
+        )
+    )
+    ss.check_and_add(urls).count()
+    doubled = urls.unionByName(urls)
+    deleted = ss.retract(doubled)
+    assert deleted.where("deleted").count() == 40  # every duplicate row flagged
+    assert ss.probe(urls).where("NOT seen").count() == 20  # one copy deleted each

@@ -170,3 +170,66 @@ def test_sessionize_plan_prunes_scan(spark, sf_dir):
     assert "user_id" in scan[0] and "ts" in scan[0]
     for unwanted in ("event_type", "props", "value"):
         assert unwanted not in scan[0]
+
+
+def test_stream_fold_continues_numbering_after_timeout():
+    """A ProcessingTimeTimeout emit must carry the session ordinal in
+    state (start_s = _NO_OPEN sentinel), so a returning user's next
+    session numbers next_sid + 1 instead of restarting at 1 — matching
+    the batch kernel's per-user 1..n numbering on a long-running stream."""
+    import pandas as pd
+
+    from texrex_spark.streaming.sessionize import _NO_OPEN, _fold
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    st = FakeState()
+    gap = 1800
+
+    def feed(ts_list):
+        return list(_fold((7,), iter([pd.DataFrame({"ts_s": ts_list})]), st, gap))
+
+    # batch 1: one open session
+    assert feed([1000, 1500]) == []
+    assert st.get == (1, 1000, 1500, 2)
+    # timeout fires: session 1 emits, ordinal carried with the sentinel
+    st.hasTimedOut = True
+    out = list(_fold((7,), iter([]), st, gap))
+    assert len(out) == 1 and out[0].iloc[0]["session_id"] == 1
+    assert st.get == (2, _NO_OPEN, _NO_OPEN, 0)
+    st.hasTimedOut = False
+    # the user returns: new open session numbers 2, and closing it via a
+    # later gap emits (7, 2, ...) — no duplicate (user, session) key
+    assert feed([10_000]) == []
+    assert st.get == (2, 10_000, 10_000, 1)
+    out = feed([20_000])
+    assert out[0].iloc[0]["session_id"] == 2
+    assert st.get == (3, 20_000, 20_000, 1)
+    # a second timeout on ordinal-only state GCs it silently
+    st.hasTimedOut = True
+    out = list(_fold((7,), iter([]), st, gap))
+    assert len(out) == 1 and out[0].iloc[0]["session_id"] == 3
+    st.hasTimedOut = True
+    assert list(_fold((7,), iter([]), st, gap)) == []
+    assert not st.exists

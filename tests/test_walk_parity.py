@@ -183,6 +183,23 @@ def test_large_fleet_auto_flips_to_parquet_state(spark):
     docs = synth.docs_df(spark, corpus)
     sc = SparkCrawl(spark, cfg)
     assert sc.checkpoint_dir is None
-    out = sc.run(docs, corpus.seeds, corpus.robots, max_rounds=6)
-    assert sc.checkpoint_dir is not None  # auto-flipped
+    flips: list[str] = []
+    orig = SparkCrawl._write_round_states
+
+    def spy(self, df, rnd):
+        flips.append(self.checkpoint_dir)
+        return orig(self, df, rnd)
+
+    SparkCrawl._write_round_states = spy
+    try:
+        out = sc.run(docs, corpus.seeds, corpus.robots, max_rounds=6)
+    finally:
+        SparkCrawl._write_round_states = orig
+    assert flips and flips[0]  # auto-flipped to parquet round files
+    # the auto dir is internal: removed after the run (a caller-passed
+    # checkpoint_dir would be the resumable snapshot and is kept)
+    import os
+
+    assert sc.checkpoint_dir is None
+    assert not os.path.isdir(flips[0])
     assert out["crawl_log"].count() > 0

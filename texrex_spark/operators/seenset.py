@@ -269,7 +269,10 @@ class PartitionedSeenSet:
         """Un-see URLs so they can be re-admitted (a fetch that died before
         its document committed, a forced recrawl).  Cuckoo buckets only —
         the bloom filter cannot delete; calling this on bloom buckets
-        raises inside the tasks.  Returns the input + ``deleted`` flag."""
+        raises inside the tasks.  Returns the input + ``deleted`` flag;
+        duplicate url_norm values within the batch delete once but ALL
+        carry the flag (counting rows where deleted=true is stable under
+        input duplication)."""
         seen_self = self
 
         def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -291,13 +294,16 @@ class PartitionedSeenSet:
                             "holds bloom bitmaps (filter_kind='bloom')"
                         )
                     urls = grp[url_col].to_numpy()
-                    uniq, first_idx = np.unique(urls, return_index=True)
+                    uniq, inverse = np.unique(urls, return_inverse=True)
                     done = filt.delete_bulk([u.encode("utf-8") for u in uniq])
                     dirty.add(b)
-                    hit = np.zeros(len(urls), dtype=bool)
-                    hit[first_idx[done]] = True
+                    # one physical delete per distinct URL; the flag
+                    # propagates to EVERY row carrying that URL so
+                    # count(deleted) is stable under input duplication
+                    hit = np.zeros(len(uniq), dtype=bool)
+                    hit[done] = True
                     loc = pdf.index.get_indexer(grp.index.to_numpy())
-                    deleted[loc] = hit
+                    deleted[loc] = hit[inverse]
                 yield pdf.assign(deleted=deleted)
             for b in dirty:
                 seen_self._save_bucket(b, cache[b])

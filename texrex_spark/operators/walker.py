@@ -174,9 +174,8 @@ class SparkCrawl:
             # Driver round-trips are bounded (K x ~250 KB/round) but stop
             # being the right default past ~100 walkers; flip to the
             # distributed parquet round files automatically.
-            import tempfile
-
-            self.checkpoint_dir = tempfile.mkdtemp(prefix="texrex-walk-ckpt-")
+            self.checkpoint_dir = self._auto_checkpoint_dir()
+            self._auto_ckpt = self.checkpoint_dir
         parquet_mode = bool(self.checkpoint_dir)
         states_rows: list[tuple] = []
         if parquet_mode:
@@ -285,7 +284,51 @@ class SparkCrawl:
             "states": states,
         }
         fetch_df.unpersist()
+        self._cleanup_auto_checkpoint()
         return result
+
+    def _auto_checkpoint_dir(self) -> str:
+        """Resolve a cluster-visible directory for the automatic
+        >100-walker flip.  Preference order: spark.texrex.work.dir
+        (explicit job work dir), then the RDD checkpoint dir if the job
+        set one (a shared filesystem on a real cluster), then a
+        driver-local tempdir — the last is valid ONLY under local[N],
+        where driver and executors share /tmp, so any other master
+        raises instead of silently writing round files executors can't
+        read."""
+        import tempfile
+        import uuid
+
+        base = self.spark.conf.get("spark.texrex.work.dir", None)
+        if not base:
+            try:
+                base = self.spark.sparkContext.getCheckpointDir()
+            except Exception:
+                base = None
+        if base:
+            return os.path.join(base, f"walk-ckpt-{uuid.uuid4().hex[:8]}")
+        if not self.spark.sparkContext.master.startswith("local"):
+            raise ValueError(
+                "n_walkers > 100 needs a cluster-visible checkpoint dir: "
+                "pass checkpoint_dir=, or set spark.texrex.work.dir / "
+                "sparkContext.setCheckpointDir"
+            )
+        return tempfile.mkdtemp(prefix="texrex-walk-ckpt-")
+
+    def _cleanup_auto_checkpoint(self) -> None:
+        """Remove an auto-created checkpoint dir after a completed run —
+        the caller never saw the path, so its round files are garbage
+        (explicitly passed checkpoint_dirs are the resumable snapshot and
+        are never touched).  Only local paths are removed here; a shared
+        base from spark.texrex.work.dir keeps its files for inspection."""
+        import shutil
+
+        auto = getattr(self, "_auto_ckpt", None)
+        if auto and os.path.isdir(auto):
+            shutil.rmtree(auto, ignore_errors=True)
+        if auto:
+            self._auto_ckpt = None
+            self.checkpoint_dir = None
 
     def _write_round_states(self, df: DataFrame, rnd: int) -> DataFrame:
         """Parquet round-trip: persist this round's full advance output and

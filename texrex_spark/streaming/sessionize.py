@@ -27,8 +27,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.sessionize import SESSION_SCHEMA
 
-# state: (next_session_id, open_start_s, open_last_s, open_count)
+# state: (next_session_id, open_start_s, open_last_s, open_count);
+# start_s == _NO_OPEN means "no open session, but keep the ordinal" — set
+# after a timeout emit so a returning user continues per-user 1..n
+# numbering instead of restarting at 1 (which would duplicate
+# (user_id, session_id) keys and diverge from the batch kernel).
 STATE_SCHEMA = "next_sid int, start_s bigint, last_s bigint, n int"
+_NO_OPEN = -1
+# GC horizon for the ordinal-only state: after this many gaps with no new
+# events the ordinal is dropped (bounded state; a user returning later
+# than this restarts at 1, the same horizon trade the watermarked dedup
+# stream makes).
+_ORDINAL_GC_GAPS = 10
 
 
 def _fold(
@@ -40,7 +50,13 @@ def _fold(
     user_id = int(key[0])
     if state.hasTimedOut:
         next_sid, start_s, last_s, n = state.get
-        state.remove()
+        if start_s == _NO_OPEN:
+            state.remove()  # ordinal-only state past the GC horizon
+            return
+        # carry the ordinal forward instead of remove(): a later event
+        # for this user numbers its session next_sid + 1
+        state.update((next_sid + 1, _NO_OPEN, _NO_OPEN, 0))
+        state.setTimeoutDuration(gap_sec * 1000 * _ORDINAL_GC_GAPS)
         yield pd.DataFrame(
             [
                 {
@@ -56,6 +72,8 @@ def _fold(
 
     if state.exists:
         next_sid, start_s, last_s, n = state.get
+        if start_s == _NO_OPEN:
+            start_s, last_s, n = None, None, 0
     else:
         next_sid, start_s, last_s, n = 1, None, None, 0
 
