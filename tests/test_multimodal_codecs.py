@@ -87,6 +87,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/x-portable-graymap",
         "image/x-portable-pixmap",
         "image/bmp",
+        "image/png",
         "audio/wav",
     }
 
@@ -173,3 +174,132 @@ def test_sample_frames_distributed(spark):
     # sampled frames feed the image pipeline unchanged
     feats = mm.extract_features(spark.createDataFrame(sampled, mm.MEDIA_SCHEMA)).collect()
     assert len(feats) == 12
+
+
+def test_png_roundtrip_gray_and_rgb():
+    """encode_png -> decode_png is the identity for 8-bit gray and RGB
+    (pure-stdlib zlib codec; filter-0 scanlines on the encode side)."""
+    import numpy as np
+
+    from texrex_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(17, 23), (9, 31, 3), (1, 1), (2, 3, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_decode_all_spec_filters():
+    """decode_png must unfilter every scanline filter type the spec
+    defines (None/Sub/Up/Average/Paeth) — checked against a forward
+    filterer written straight from the RFC 2083 equations."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from texrex_spark.operators.multimodal import decode_png
+
+    def forward_filter(img, ftype):
+        h, w = img.shape[:2]
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        raw = img.reshape(h, w * ch).astype(np.int32)
+        out = b""
+        for y in range(h):
+            prior = raw[y - 1] if y else np.zeros(w * ch, np.int32)
+            line = raw[y]
+            f = np.empty(w * ch, np.int32)
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if (x >= ch and y) else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[x] = (line[x] - pred) & 255
+            out += bytes([ftype]) + f.astype(np.uint8).tobytes()
+        return out
+
+    def mk_png(img, ftype):
+        h, w = img.shape[:2]
+        color = 0 if img.ndim == 2 else 2
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(forward_filter(img, ftype)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(13)
+    for ftype in range(5):
+        for shape in [(12, 7), (8, 5, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_png(mk_png(img, ftype)), img), ftype
+
+
+def test_png_rejects_corrupt_and_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from texrex_spark.operators.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    good = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+    good[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    # 16-bit depth is out of scope and must say so, not mis-decode
+    bad_hdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    import zlib as _z
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    payload = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", bad_hdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(payload)
+
+
+def test_png_flows_through_feature_and_resize(spark):
+    """A PNG payload goes through the distributed decode -> feature and
+    resize stages like any uncompressed format (it left the stub tier)."""
+    import numpy as np
+
+    from texrex_spark.operators.multimodal import (
+        decode_png, encode_png, extract_features, resize_images,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("m/png", "image", bytearray(encode_png(img)),
+          {"width": 30, "height": 20, "duration_ms": 0, "mime": "image/png"})],
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,mime:string>",
+    )
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and feats[0].width == 30 and feats[0].height == 20
+    resized = resize_images(media, 8, 6).collect()
+    assert len(resized) == 1
+    out = decode_png(bytes(resized[0].payload))
+    assert out.shape == (6, 8, 3)
+    assert resized[0].meta.mime == "image/png"

@@ -9,13 +9,15 @@ kind='media', BASELINE.json input_hint).  A media table carries the bytes:
 Decode support is tiered by what the container allows:
 
 - **Real decoders** (pure numpy/stdlib, no external libs): binary PGM (P5)
-  and PPM (P6), uncompressed 24-bit BMP, and 8/16-bit PCM WAV (stdlib
-  ``wave``).  These are genuine byte-level codecs with encode round-trips,
-  so the decode -> feature -> resize -> re-encode pipeline is real end to
-  end for uncompressed formats.
-- **Stub** for compressed codecs (JPEG/PNG/MP4 need PIL/av, absent here):
-  ``decode`` raises ``NotImplementedError`` for their mimes, and the
-  deterministic ``image/fake`` payload keeps distribution tests hermetic.
+  and PPM (P6), uncompressed 24-bit BMP, 8-bit PNG (stdlib ``zlib`` +
+  all five scanline filters), and 8/16-bit PCM WAV (stdlib ``wave``).
+  These are genuine byte-level codecs with encode round-trips, so the
+  decode -> feature -> resize -> re-encode pipeline is real end to end,
+  including the most common compressed web image format.
+- **Stub** for the remaining compressed codecs (JPEG/MP4 need PIL/av,
+  absent here): ``decode`` raises ``NotImplementedError`` for their
+  mimes, and the deterministic ``image/fake`` payload keeps distribution
+  tests hermetic.
 
 All kernels run per Arrow batch inside ``mapInPandas``; swapping in PIL/av
 for the compressed tier replaces one dispatcher branch.
@@ -167,6 +169,107 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """8-bit PNG from (h, w) grayscale or (h, w, 3) RGB — pure stdlib
+    (zlib + struct).  Scanlines use filter 0 (None); any spec-compliant
+    reader accepts that, and decode_png below handles all five filters."""
+    import zlib
+
+    h, w = img.shape[:2]
+    color = 0 if img.ndim == 2 else 2
+    raw = img.astype(np.uint8).reshape(h, -1)
+    scan = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(h, w [, ch]) uint8 from an 8-bit non-interlaced PNG (gray, RGB,
+    or RGBA; palette/16-bit/interlaced raise).  Pure stdlib: chunk walk
+    with CRC checks, zlib inflate, per-scanline unfilter (all five spec
+    filters — None/Sub/Up/Average/Paeth; Sub vectorizes to a per-lane
+    prefix sum, Up to a row add; Average/Paeth need the serial scan)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off, idat, ihdr = 8, [], None
+    while off + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, off)
+        data = payload[off + 8 : off + 8 + ln]
+        crc = struct.unpack_from(">I", payload, off + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if ihdr is None:
+        raise ValueError("no IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported "
+            f"(depth={depth}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported color type {color} (palette needs PLTE)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: prefix sum per byte lane of the pixel
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = line + prior
+        elif f == 3:  # Average (serial: left is the reconstructed byte)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] & 255 if x >= ch else 0
+                rec[x] = line[x] + ((left + prior[x]) >> 1)
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - ch] & 255 if x >= ch else 0
+                b = prior[x]
+                c = int(out[y - 1, x - ch]) if (x >= ch and y) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = line[x] + pred
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out[y] = rec & 255
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """PCM WAV from int16 samples shaped (n,) or (n, channels)."""
     s = np.asarray(samples, np.int16)
@@ -206,6 +309,9 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
     if mime in ("image/x-portable-pixmap", "image/bmp"):
         rgb = decode_ppm(payload) if mime.endswith("pixmap") else decode_bmp(payload)
         return _luma(rgb)
+    if mime == "image/png":
+        img = decode_png(payload)
+        return img if img.ndim == 2 else _luma(img[..., :3])
     if mime == "image/fake":
         return decode_stub(payload, meta)
     raise NotImplementedError(
@@ -274,7 +380,7 @@ def synth_real_media_row(ref: str) -> dict:
     so the decode tier is exercised end to end with no codec libraries."""
     seed = hashlib.md5(ref.encode()).digest()
     rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-    pick = seed[8] % 4
+    pick = seed[8] % 5
     if pick == 3:
         rate = int(rng.choice([8000, 16000]))
         n = int(rng.integers(400, 4000))
@@ -292,9 +398,12 @@ def synth_real_media_row(ref: str) -> dict:
     elif pick == 1:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = encode_ppm(img), "image/x-portable-pixmap"
-    else:
+    elif pick == 2:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = encode_bmp(img), "image/bmp"
+    else:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload, mime = encode_png(img), "image/png"
     return {
         "media_ref": ref, "kind": "image", "payload": payload,
         "meta": {"width": w, "height": h, "duration_ms": 0, "mime": mime},
@@ -371,6 +480,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     img, enc = decode_ppm(payload), encode_ppm
                 elif mime == "image/bmp":
                     img, enc = decode_bmp(payload), encode_bmp
+                elif mime == "image/png":
+                    img, enc = decode_png(payload), encode_png
                 else:
                     continue  # audio / compressed: passed through elsewhere
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)

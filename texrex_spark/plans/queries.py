@@ -2307,7 +2307,7 @@ def _real_media_rows():
                          round(f["mean_intensity"], 4)))
     assert {r[2] for r in rows} == {
         "image/x-portable-graymap", "image/x-portable-pixmap",
-        "image/bmp", "audio/wav",
+        "image/bmp", "image/png", "audio/wav",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
