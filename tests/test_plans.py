@@ -172,3 +172,20 @@ def test_pagerank_no_forced_outdeg_broadcast(spark):
     analyzed = ranks._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
     assert ranks.count() == 13
+
+
+def test_flagship_queries_inside_driver_window():
+    """The correctness driver verifies the FIRST 50 registered queries;
+    the BASELINE flagship gates must stay inside that window and every
+    registered query must carry an oracle."""
+    from texrex_spark.plans.queries import ORACLE_SQL, QUERIES
+
+    names = list(QUERIES)
+    window = set(names[:50])
+    for flagship in (
+        "q_crawl_order", "q_host_metrics", "q_pagerank", "q_link_indegree",
+        "q_media_decode", "q_embed_quantize", "q_pq_codes", "q_tarc_sink",
+        "q_simhash_neardup", "q_dedup_stream", "q_sessionize",
+    ):
+        assert flagship in window, f"{flagship} at {names.index(flagship)}"
+    assert set(names) == set(ORACLE_SQL), "every query needs an oracle"
