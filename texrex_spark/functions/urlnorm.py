@@ -70,6 +70,12 @@ def canonicalize_col(url: Column) -> Column:
     Built on ``try_parse_url`` (single JVM java.net.URI parse per part)
     instead of a regex tower — measured ~3x cheaper on the frontier
     canonicalize stage, which is the hottest expression in the scheduler.
+
+    Do NOT rewrite this as substring/instr string ops to save parses: a
+    round-3 attempt measured 2x SLOWER (1.6 s -> 2.8-3.7 s per 2M URLs
+    at local[32]) because Catalyst does not eliminate the duplicated
+    subexpression chains through the CASE branches, so the string tower
+    re-evaluates ~5x per row while five URI parses cost ~160 ns each.
     """
     trimmed = F.trim(url)
     scheme = F.lower(F.try_parse_url(trimmed, F.lit("PROTOCOL")))
