@@ -170,3 +170,66 @@ def test_host_state():
     assert hs.wait("a.example", now=60) == 0
     hs.crawl_delay["a.example"] = 30
     assert hs.wait("a.example", now=60) == 20
+
+
+def test_canonicalize_idempotent_property():
+    """Canonicalization must be idempotent — the seen-set contract: a
+    URL harvested from a page and one re-harvested from the crawl log
+    (already canonical) must map to the same seen-set key.  Checked with
+    hypothesis over structured URL-ish inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from texrex_spark.functions.urlnorm import canonicalize
+
+    label = st.text("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-", min_size=1, max_size=8)
+    host = st.builds(".".join, st.lists(label, min_size=1, max_size=4))
+    path_seg = st.text("abcdefghijklmnopqrstuvwxyz0123456789._~%-", max_size=8)
+    path = st.builds(lambda segs: "/" + "/".join(segs), st.lists(path_seg, max_size=4))
+    query = st.one_of(st.just(""), st.builds("?{}".format, st.text("abcdefghijklmnopqrstuvwxyz0123456789=&:/#", max_size=12)))
+    port = st.one_of(st.just(""), st.builds(":{}".format, st.integers(0, 70000)))
+    scheme = st.sampled_from(["http", "https", "HTTP", "ftp", "htt p", ""])
+    url = st.builds(
+        lambda s, h, p, pa, q: f"{s}://{h}{p}{pa}{q}" if s else f"{h}{p}{pa}{q}",
+        scheme, host, port, path, query,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(url)
+    def check(u):
+        c = canonicalize(u)
+        assert canonicalize(c) == c, (u, c)
+        if c:
+            # canonical form structural invariants the scheduler relies on
+            assert c.startswith(("http://", "https://"))
+            after = c.split("://", 1)[1]
+            assert "/" in after  # path always rooted
+            assert c == c.strip()
+
+    check()
+
+
+def test_canonicalize_col_parity_on_generated_corpus(spark):
+    """Catalyst twin == Python twin over a structured 300-URL corpus
+    (ports, default ports, queries with delimiters, fragments, empty
+    paths, mixed case) — one Spark job, not per-example."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.functions.urlnorm import canonicalize, canonicalize_col
+
+    hosts = ["a.com", "WWW.Ex.AMPLE.org", "x.y.z.co", "h-1.net"]
+    ports = ["", ":80", ":443", ":8080", ":65535"]
+    paths = ["", "/", "/p", "/a/b/c", "/p%20q", "/x.html"]
+    queries = ["", "?q=1", "?a=1&b=2", "?u=http://other.com/x", "?"]
+    frags = ["", "#f", "#x?y"]
+    schemes = ["http", "https", "HTTP"]
+    corpus = [
+        f"{s}://{h}{po}{pa}{q}{fr}"
+        for s, h, po, pa, q, fr in zip(
+            schemes * 100, hosts * 75, ports * 60, paths * 50, queries * 60, frags * 100
+        )
+    ][:300]
+    expected = [canonicalize(u) for u in corpus]
+    df = spark.createDataFrame([(u,) for u in corpus], "url string")
+    got = [r[0] for r in df.select(canonicalize_col(F.col("url")).alias("c")).collect()]
+    assert got == expected
