@@ -17,6 +17,13 @@ CHARACTER_THRESHOLD = 3
 
 _rabin: Rabin64 | None = None
 
+# text -> hash memo across documents in the same task: boilerplate divs
+# (nav bars, footers) repeat across most pages of a host, and the hash is
+# a pure function of the text.  Bounded so a pathological corpus can't
+# grow it without limit.
+_HASH_CACHE: dict[str, int] = {}
+_HASH_CACHE_MAX = 200_000
+
 
 def _hasher() -> Rabin64:
     global _rabin
@@ -33,7 +40,12 @@ def dedupe_divs(divs, character_threshold: int = CHARACTER_THRESHOLD) -> None:
     for i, d in enumerate(divs):
         if len(d.text) < character_threshold:
             continue
-        hv = h.hash(d.text.encode("utf-8"))
+        hv = _HASH_CACHE.get(d.text)
+        if hv is None:
+            hv = h.hash(d.text.encode("utf-8"))
+            if len(_HASH_CACHE) >= _HASH_CACHE_MAX:
+                _HASH_CACHE.clear()
+            _HASH_CACHE[d.text] = hv
         if hv in seen:
             d.dup_of = seen[hv]
         else:
