@@ -1020,13 +1020,18 @@ def q_simhash_neardup(spark, sf_dir):
         .where(F.col("tok") != "")
         .select("doc_id", tok_hash.alias("h"))
     )
-    votes = toks.groupBy("doc_id").agg(*[
-        F.sum(
-            F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{j}")
-        for j in range(60)
-    ])
-    bit = lambda j: F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(0)  # noqa: E731
+    # vote_j = sum(2*bit_j - 1) > 0  <=>  2*count(bit_j set) > n_tokens,
+    # so sum the raw bit (half the per-row arithmetic of the +-1 form)
+    # and compare against the token count — value-identical to the SQL
+    # oracle's +-1 derivation.
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))).alias(f"v{j}")
+            for j in range(60)
+        ],
+    )
+    bit = lambda j: F.when(2 * F.col(f"v{j}") > F.col("n"), F.lit(1).cast("long")).otherwise(0)  # noqa: E731
     sh = votes.select(
         "doc_id",
         sum(
