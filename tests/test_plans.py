@@ -189,3 +189,75 @@ def test_flagship_queries_inside_driver_window():
     ):
         assert flagship in window, f"{flagship} at {names.index(flagship)}"
     assert set(names) == set(ORACLE_SQL), "every query needs an oracle"
+
+
+def test_harvest_no_forced_rank_broadcast(spark, tmp_path):
+    """harvest_links must not hint broadcast on host_rank_pos (one row per
+    ranked host — 10^7-10^8 at the north rule's scale, multi-GB if forced);
+    AQE decides at runtime instead.  Same bug class as politeness/tecl/
+    pagerank outdeg, each already pinned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from texrex_spark.operators.frontier import FrontierConfig, FrontierScheduler
+
+    sched = FrontierScheduler(
+        spark, FrontierConfig(seen_partitions=2), str(tmp_path / "w")
+    )
+    link_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("relation", T.StringType()),
+            ]
+        )
+    )
+    fetched = spark.range(0, 50).select(
+        F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("priority"),
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("http://h"), (F.col("id") % 7).cast("string"),
+                    F.lit(".example.org/page/"), F.col("id").cast("string"),
+                    F.lit("/deep/enough/path"),
+                ).alias("url"),
+                F.lit("trlDifferentHosts").alias("relation"),
+            )
+        ).cast(link_t).alias("links"),
+    )
+    ranks = spark.range(0, 7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org")).alias("node"),
+        (F.lit(1.0) / (F.col("id") + 1)).alias("rank"),
+    )
+    sched.set_host_ranks(ranks)
+    out = sched.harvest_links(fetched, next_priority_base=0)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    assert out.count() == 50
+
+
+def test_robots_gate_broadcast_hint_both_paths(spark):
+    """gate_frontier's broadcast_hint parameter: hinted -> ResolvedHint in
+    the analyzed plan; unhinted -> no hint, AQE decides (the 10^8-host
+    escape hatch the docstring promises)."""
+    from pyspark.sql import functions as F
+
+    from texrex_spark.operators.robots import gate_frontier
+
+    frontier = spark.range(0, 100).select(
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("id").cast("string")).alias("path"),
+    )
+    robots = spark.range(0, 5).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.lit(True).alias("has_robots"),
+        F.array(F.lit("/admin")).alias("disallow_prefixes"),
+    )
+    hinted = gate_frontier(frontier, robots, broadcast_hint=True)
+    unhinted = gate_frontier(frontier, robots, broadcast_hint=False)
+    a_hint = hinted._jdf.queryExecution().analyzed().toString()
+    a_nohint = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in a_hint
+    assert "ResolvedHint" not in a_nohint and "UnresolvedHint" not in a_nohint
+    assert hinted.count() == 100 and unhinted.count() == 100

@@ -102,6 +102,10 @@ class FrontierConfig:
     # seen.retract() un-sees URLs whose fetch died before commit)
     seen_filter: str = "bloom"
     cuckoo_capacity_per_bucket: int = 2_000_000
+    # Broadcast the robots rule table in gate_frontier.  True is right up
+    # to ~10^7 hosts; at 10^8 hosts with disallow-prefix arrays the table
+    # outgrows broadcast limits — set False and AQE picks the join.
+    robots_broadcast: bool = True
 
 
 @dataclass
@@ -233,9 +237,13 @@ class FrontierScheduler:
             .where(F.col("depth") <= cfg.max_depth)
         )
         if self.host_rank_pos is not None:
+            # No broadcast hint: host_rank_pos has one row per ranked host
+            # (10^7-10^8 hosts at design scale = multi-GB) — AQE picks a
+            # broadcast join on its own when the table is actually small.
+            # Pinned by test_harvest_no_forced_rank_broadcast.
             out = out.withColumn(
                 "link_host", urlnorm.extract_host_col(urlnorm.canonicalize_col(F.col("url")))
-            ).join(F.broadcast(self.host_rank_pos), "link_host", "left")
+            ).join(self.host_rank_pos, "link_host", "left")
             prio = (
                 F.lit(next_priority_base)
                 + F.coalesce(F.col("rank_pos"), F.lit(1000)).cast("long")
@@ -298,7 +306,10 @@ class FrontierScheduler:
             unseen = self.seen.probe(frontier, dedup_round=True).where(
                 ~F.col("seen")
             ).drop("seen", "bloom_scalings", "bloom_bucket")
-            gated = gate_frontier(self.with_host_path(unseen), robots)
+            gated = gate_frontier(
+                self.with_host_path(unseen), robots,
+                broadcast_hint=cfg.robots_broadcast,
+            )
 
             # host state enriched with robots crawl-delay for the formula
             hs = (

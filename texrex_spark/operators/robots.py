@@ -104,19 +104,21 @@ def allowed_col(path: Column, disallow_prefixes: Column, has_robots: Column) -> 
     return F.when(has_robots.isNull() | ~has_robots, F.lit(True)).otherwise(~blocked)
 
 
-def gate_frontier(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def gate_frontier(
+    frontier: DataFrame, robots: DataFrame, broadcast_hint: bool = True
+) -> DataFrame:
     """Broadcast-join robots rules onto a frontier and filter forbidden URLs.
 
     frontier must carry ``host`` and ``path`` columns; robots is the small
     per-host rule table (hosts numbering ~10^7 at 10^10-URL scale still fit
-    a broadcast at ~a few GB; beyond that drop the hint and let AQE pick a
-    shuffled hash join — the call site controls it via ``broadcast_hint``).
+    a broadcast at ~a few GB; beyond that pass ``broadcast_hint=False`` to
+    drop the hint and let AQE pick a shuffled hash join — the frontier
+    scheduler wires it from ``FrontierConfig.robots_broadcast``).
     """
-    joined = frontier.join(
-        F.broadcast(robots.select("host", "has_robots", "disallow_prefixes")),
-        "host",
-        "left",
-    )
+    rules = robots.select("host", "has_robots", "disallow_prefixes")
+    if broadcast_hint:
+        rules = F.broadcast(rules)
+    joined = frontier.join(rules, "host", "left")
     return joined.where(
         allowed_col(F.col("path"), F.col("disallow_prefixes"), F.col("has_robots"))
     ).drop("has_robots", "disallow_prefixes")
