@@ -23,6 +23,8 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Default engine paths: these sum into the headline total — what a user
+# of the engine actually pays.
 HEADLINE = [
     "q_agg_pricing",
     "q_join_topk",
@@ -38,9 +40,15 @@ HEADLINE = [
     "q_range_join",
     "q_simhash_neardup",
     "q_sessionize",
-    "q_sessionize_kernel",
     "q_ann_ivf",
     "q_pagerank",
+]
+# Parity twins: second formulations kept for oracle/plan comparison.
+# Timed and reported under "twins" but excluded from the headline total
+# (VERDICT r03 #8: the total tracks the engine users get).
+TWINS = [
+    "q_sessionize_kernel",
+    "q_range_join_catalyst",
 ]
 
 
@@ -89,13 +97,14 @@ def _wait_quiet(gate: float = 4.0, timeout: float = 180.0) -> None:
         time.sleep(5)
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    from texrex_spark.plans.queries import QUERIES
+def bench_queries(spark, sf_dir: str, names=None) -> dict[str, float]:
+    from texrex_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
+    registry = {**QUERIES, **EXTRA_QUERIES}
     out: dict[str, float] = {}
     for _ in range(2):  # two passes, per-query min: one load wave can't poison a query
-        for name in HEADLINE:
-            q = QUERIES[name]
+        for name in (names or HEADLINE):
+            q = registry[name]
             t0 = time.time()
             # full materialization without driver transfer
             q(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -203,6 +212,7 @@ def main() -> None:
         bench_frontier(spark, 100_000, warm_dir)
         shutil.rmtree(warm_dir, ignore_errors=True)
         per_query = bench_queries(spark, sf_dir)
+        twins = bench_queries(spark, sf_dir, names=TWINS)
         # Frontier: min of 2 independent rounds (fresh seen-set each — a
         # reused work dir would see all URLs as duplicates), each behind a
         # short quiet gate so a single external host-load wave (BENCH.md)
@@ -230,6 +240,7 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": per_query,
+                    "twins": twins,
                     "sf": sf,
                     "frontier": frontier,
                     "clean_chain": clean,

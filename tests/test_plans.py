@@ -7,7 +7,7 @@ pipeline."""
 
 import pytest
 
-from texrex_spark.plans.queries import QUERIES
+from texrex_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
 
 def _plan(df) -> str:
@@ -26,7 +26,7 @@ def test_agg_pricing_pushdown_and_partial_agg(spark, sf_dir):
 
 
 def test_join_topk_broadcast_and_takeordered(spark, sf_dir):
-    plan = _plan(QUERIES["q_join_topk"](spark, sf_dir))
+    plan = _plan(EXTRA_QUERIES["q_join_topk"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # nation dim broadcast
     assert "TakeOrderedAndProject" in plan  # sort+limit is a top-k, not a sort
 
@@ -52,10 +52,13 @@ def test_robots_gate_broadcast(spark, sf_dir):
 
 
 def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
-    # for a 100-row interval dim the BNLJ IS the right plan; the big-data
-    # path is clean/geo.py's searchsorted
-    plan = _plan(QUERIES["q_range_join"](spark, sf_dir))
+    # for a 100-row interval dim the BNLJ IS the right plan for the
+    # Catalyst twin; the driver-verified q_range_join runs clean/geo.py's
+    # searchsorted kernel (one map-only Python stage, no join at all)
+    plan = _plan(EXTRA_QUERIES["q_range_join_catalyst"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
+    engine_plan = _plan(QUERIES["q_range_join"](spark, sf_dir))
+    assert "Join" not in engine_plan.replace("MapInPandas", "")
 
 
 def test_clean_chain_single_python_stage(spark, sf_dir):
@@ -180,15 +183,24 @@ def test_flagship_queries_inside_driver_window():
     registered query must carry an oracle."""
     from texrex_spark.plans.queries import ORACLE_SQL, QUERIES
 
-    names = list(QUERIES)
-    window = set(names[:50])
+    from texrex_spark.plans.queries import EXTRA_ORACLE_SQL
+
+    assert len(QUERIES) <= 50, "driver verifies only the first 50"
     for flagship in (
         "q_crawl_order", "q_host_metrics", "q_pagerank", "q_link_indegree",
         "q_media_decode", "q_embed_quantize", "q_pq_codes", "q_tarc_sink",
         "q_simhash_neardup", "q_dedup_stream", "q_sessionize",
+        # the three operators whose only driver gate was demoted in r03:
+        "q_range_join",  # engine geolocate kernel (clean/geo.py)
+        "q_simple_filter", "q_nfc_normalize",
+        # brief-mandated dedup family, each directly driver-verified:
+        "q_dedup_exact", "q_neardup_pairs", "q_ngram_jaccard",
+        "q_embedding_neardup", "q_doc_fingerprint",
     ):
-        assert flagship in window, f"{flagship} at {names.index(flagship)}"
-    assert set(names) == set(ORACLE_SQL), "every query needs an oracle"
+        assert flagship in QUERIES, flagship
+    assert set(QUERIES) == set(ORACLE_SQL), "every query needs an oracle"
+    assert set(EXTRA_QUERIES) == set(EXTRA_ORACLE_SQL)
+    assert not (set(QUERIES) & set(EXTRA_QUERIES))
 
 
 def test_harvest_no_forced_rank_broadcast(spark, tmp_path):

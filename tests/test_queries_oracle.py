@@ -9,6 +9,15 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+from texrex_spark.plans.queries import EXTRA_ORACLE_SQL, EXTRA_QUERIES
+
+
+def _all_queries():
+    return {**entrymod.queries(), **EXTRA_QUERIES}
+
+
+def _all_oracles():
+    return {**entrymod.oracle_sql(), **EXTRA_ORACLE_SQL}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -40,10 +49,10 @@ def _rows_set(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+@pytest.mark.parametrize("name", sorted(_all_queries().keys()))
 def test_query_matches_oracle(spark, sf_dir, name):
-    q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql().get(name)
+    q = _all_queries()[name]
+    sql = _all_oracles().get(name)
     sdf = q(spark, sf_dir)
     srows = sdf.collect()
     scols = sdf.columns
