@@ -273,3 +273,47 @@ def test_dedup_stream_matches_batch_key(spark, tmp_path):
     assert len({r["fp"] for r in out}) == 3
     surviving_texts = {" ".join(r["text"].split()) for r in out}
     assert surviving_texts == {"alpha beta gamma", "delta epsilon", "zeta eta"}
+
+
+def test_dedup_class_key_matches_fingerprint_ws_class(spark):
+    """The q_dedup_stream class key (Spark regex + DuckDB regex) collapses
+    EXACTLY the whitespace set the engine fingerprint collapses (Python
+    str.split semantics) — texts differing only by \\x85/\\xa0/U+2028-class
+    whitespace must land in ONE class on all three engines (ADVICE r03 #5)."""
+    import duckdb
+
+    from texrex_spark.plans.queries import _PY_WS_DUCK, _PY_WS_SPARK
+
+    texts = [
+        "alpha\x85beta",        # NEL
+        "alpha\xa0beta",        # NBSP
+        "alpha beta",      # line separator
+        "alpha \t beta",
+        "\u3000alpha beta\u3000",
+        "alpha beta",
+        "alpha\x1cbeta",        # FS control, isspace in Python
+        "gamma  delta ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_norm = [
+        r[0]
+        for r in df.select(
+            F.trim(F.regexp_replace("text", _PY_WS_SPARK, " "))
+        ).collect()
+    ]
+    con = duckdb.connect()
+    duck_norm = [
+        con.execute(
+            "SELECT trim(regexp_replace(?, ?, ' ', 'g'), ' ')", [t, _PY_WS_DUCK]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    py_norm = [" ".join(t.split()) for t in texts]
+    assert spark_norm == py_norm
+    assert duck_norm == py_norm
+    # every codepoint Python str.split collapses is in the class, and none more
+    import re
+
+    cover = [chr(c) for c in range(0x11000) if chr(c).isspace()]
+    for ch in cover:
+        assert re.fullmatch(_PY_WS_SPARK, ch), hex(ord(ch))

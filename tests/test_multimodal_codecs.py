@@ -189,6 +189,22 @@ def test_png_roundtrip_gray_and_rgb():
         assert np.array_equal(decode_png(encode_png(img)), img)
 
 
+def test_png_roundtrip_alpha_channel_counts():
+    """encode_png maps channel count -> color type (gray+A=4, RGBA=6);
+    a hardcoded RGB color type corrupted re-encoded RGBA payloads
+    (ADVICE r03: IHDR said RGB, scanlines carried 4 bytes/pixel)."""
+    import numpy as np
+
+    from texrex_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    for shape in [(7, 11, 4), (5, 9, 2), (3, 4, 1)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        want = img.reshape(img.shape[:2]) if shape[2] == 1 else img
+        assert np.array_equal(out, want), shape
+
+
 def test_png_decode_all_spec_filters():
     """decode_png must unfilter every scanline filter type the spec
     defines (None/Sub/Up/Average/Paeth) — checked against a forward
@@ -303,3 +319,31 @@ def test_png_flows_through_feature_and_resize(spark):
     out = decode_png(bytes(resized[0].payload))
     assert out.shape == (6, 8, 3)
     assert resized[0].meta.mime == "image/png"
+
+
+def test_png_rgba_resize_roundtrip(spark):
+    """RGBA PNG survives the distributed resize stage: decode (h,w,4) ->
+    nearest-neighbor -> re-encode as color type 6 -> decodable, alpha
+    intact (the ADVICE r03 silent-corruption scenario)."""
+    import numpy as np
+
+    from texrex_spark.operators.multimodal import (
+        decode_png, encode_png, resize_images,
+    )
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (16, 24, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("m/rgba", "image", bytearray(encode_png(img)),
+          {"width": 24, "height": 16, "duration_ms": 0, "mime": "image/png"})],
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,mime:string>",
+    )
+    resized = resize_images(media, 8, 6).collect()
+    assert len(resized) == 1
+    out = decode_png(bytes(resized[0].payload))
+    assert out.shape == (6, 8, 4)
+    # nearest-neighbor: every output pixel is an input pixel, all 4 channels
+    ys = np.linspace(0, 15, 6).astype(int)
+    xs = np.linspace(0, 23, 8).astype(int)
+    assert np.array_equal(out, img[np.ix_(ys, xs)])

@@ -203,3 +203,44 @@ def test_large_fleet_auto_flips_to_parquet_state(spark):
     assert sc.checkpoint_dir is None
     assert not os.path.isdir(flips[0])
     assert out["crawl_log"].count() > 0
+
+
+def test_parquet_mode_logs_match_driver_mode(spark, corpus, config, tmp_path):
+    """With a checkpoint_dir the crawl-log/emission tables are parsed
+    distributed out of the round parquet files (walker._logs_from_rounds,
+    VERDICT r03 #3) — they must equal the driver-list tables row for row."""
+    from texrex_spark.operators.walker import SparkCrawl
+
+    docs = synth.docs_df(spark, corpus)
+    drv = SparkCrawl(spark, config).run(docs, corpus.seeds, corpus.robots)
+    pq = SparkCrawl(
+        spark, config, checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2
+    ).run(docs, corpus.seeds, corpus.robots)
+    assert [tuple(r) for r in drv["crawl_log"].collect()] == [
+        tuple(r) for r in pq["crawl_log"].collect()
+    ]
+    assert [tuple(r) for r in drv["emitted"].drop("partition_id").collect()] == [
+        tuple(r) for r in pq["emitted"].drop("partition_id").collect()
+    ]
+
+
+def test_auto_checkpoint_results_usable_after_cleanup(spark):
+    """>100-walker auto-flip: run() rmtree's its auto round dir, so the
+    returned states/log DataFrames must be materialized first — acting on
+    them afterwards (collect, resume handle) used to raise
+    path-does-not-exist (ADVICE r03 high)."""
+    from texrex_spark.operators.walker import SparkCrawl
+
+    corpus = synth.generate(n_hosts=16, n_docs=220, seed=7, n_seeds=120)
+    cfg = WalkConfig(seed=7, n_walkers=120, max_steps=2, min_politeness=1,
+                     cache_size=10)
+    docs = synth.docs_df(spark, corpus)
+    sc = SparkCrawl(spark, cfg)
+    out = sc.run(docs, corpus.seeds, corpus.robots, max_rounds=4)
+    assert sc.checkpoint_dir is None  # auto dir cleaned
+    assert len(out["states"].collect()) == 120
+    assert out["crawl_log"].count() > 0
+    # documented purpose of the states handle: resume a further run
+    again = sc.run(docs, corpus.seeds, corpus.robots, max_rounds=2,
+                   states=out["states"])
+    assert again["states"].count() == 120

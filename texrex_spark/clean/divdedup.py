@@ -19,10 +19,14 @@ _rabin: Rabin64 | None = None
 
 # text -> hash memo across documents in the same task: boilerplate divs
 # (nav bars, footers) repeat across most pages of a host, and the hash is
-# a pure function of the text.  Bounded so a pathological corpus can't
-# grow it without limit.
+# a pure function of the text.  Bounded by entry count AND by per-entry
+# length: keys are the div texts themselves, so without the length cap a
+# corpus of large unique divs could pin multi-GB of strings per Python
+# worker (boilerplate lives in short divs; long divs gain nothing from
+# the memo and just pay one Rabin pass).
 _HASH_CACHE: dict[str, int] = {}
 _HASH_CACHE_MAX = 200_000
+_HASH_CACHE_MAX_TEXT = 4096
 
 
 def _hasher() -> Rabin64:
@@ -43,9 +47,10 @@ def dedupe_divs(divs, character_threshold: int = CHARACTER_THRESHOLD) -> None:
         hv = _HASH_CACHE.get(d.text)
         if hv is None:
             hv = h.hash(d.text.encode("utf-8"))
-            if len(_HASH_CACHE) >= _HASH_CACHE_MAX:
-                _HASH_CACHE.clear()
-            _HASH_CACHE[d.text] = hv
+            if len(d.text) <= _HASH_CACHE_MAX_TEXT:
+                if len(_HASH_CACHE) >= _HASH_CACHE_MAX:
+                    _HASH_CACHE.clear()
+                _HASH_CACHE[d.text] = hv
         if hv in seen:
             d.dup_of = seen[hv]
         else:

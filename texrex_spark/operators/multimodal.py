@@ -173,13 +173,23 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """8-bit PNG from (h, w) grayscale or (h, w, 3) RGB — pure stdlib
-    (zlib + struct).  Scanlines use filter 0 (None); any spec-compliant
-    reader accepts that, and decode_png below handles all five filters."""
+    """8-bit PNG from (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) RGBA —
+    pure stdlib (zlib + struct).  Scanlines use filter 0 (None); any
+    spec-compliant reader accepts that, and decode_png below handles all
+    five filters."""
     import zlib
 
     h, w = img.shape[:2]
-    color = 0 if img.ndim == 2 else 2
+    if img.ndim == 2:
+        color = 0
+    else:
+        ch = img.shape[2]
+        # color type per channel count (PNG spec 11.2.2): 2=RGB, 4=gray+A,
+        # 6=RGBA — a hardcoded 2 corrupted re-encoded RGBA images (IHDR
+        # said RGB while scanlines carried 4 bytes/pixel)
+        color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+        if color is None:
+            raise ValueError(f"unsupported channel count {ch}")
     raw = img.astype(np.uint8).reshape(h, -1)
     scan = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
 
@@ -230,7 +240,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"only 8-bit non-interlaced PNG supported "
             f"(depth={depth}, interlace={interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if ch is None:
         raise ValueError(f"unsupported color type {color} (palette needs PLTE)")
     raw = zlib.decompress(b"".join(idat))

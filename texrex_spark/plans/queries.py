@@ -1826,11 +1826,27 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"), gap_sec=1800)
 
 
+# The duplicate-class key must collapse EXACTLY the whitespace set the
+# engine fingerprint collapses (Python ``' '.join(text.split())``, i.e.
+# every codepoint where str.isspace() holds) — a narrower class would
+# split one fingerprint class into several oracle keys on corpora with
+# \x85/\xa0/U+2028-style whitespace (ADVICE r03 #5).  The same set,
+# spelled for each regex engine:
+_PY_WS_SPARK = (  # Java regex: the same codepoints, \uXXXX-escaped
+    "[\t\n\x0b\f\r\x1c-\x1f \x85\xa0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
+_PY_WS_DUCK = (  # RE2: \x{..} escapes keep the SQL text 7-bit clean
+    r"[\x{09}-\x{0D}\x{1C}-\x{1F}\x{20}\x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
+
+
 @_register(
     "q_dedup_stream",
-    """
+    f"""
     SELECT DISTINCT
-           md5(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g'), ' '))
+           md5(trim(regexp_replace(text, '{_PY_WS_DUCK}', ' ', 'g'), ' '))
              AS class_key
     FROM documents
     """,
@@ -1874,7 +1890,7 @@ def q_dedup_stream(spark, sf_dir):
     q.awaitTermination(300)
     # No .distinct() on this side: one survivor per class is the claim
     # under test — a duplicate survivor must surface as an extra row.
-    norm = F.trim(F.regexp_replace(F.col("text"), "[ \\t\\n\\r\\f]+", " "))
+    norm = F.trim(F.regexp_replace(F.col("text"), _PY_WS_SPARK, " "))
     return spark.table(name).select(F.md5(norm).alias("class_key"))
 
 
