@@ -164,6 +164,29 @@ def test_shingler_reference_semantics():
     assert shingle.fingerprint(["A"], hashes=10) is None
 
 
+def test_shingler_batch_matches_per_doc():
+    """The index-frame batch path (shingle.fingerprint_batch_signed) must
+    be bit-identical to per-doc fingerprint_signed across the edge cases
+    the frame arithmetic has to get right: multibyte tokens (char-counted
+    PadLeft over byte-counted hashing), short grams (space-pad frames),
+    empty tokens, empty docs, too-few-token docs, duplicate grams."""
+    streams = [
+        [],
+        ["A"],
+        ["A", "B", "C", "D"],
+        ["A", "B", "C", "D", "E"],  # one gram, pad 4
+        ["é", "ü", "ß", "ア", "語"],  # 5 chars / 11 bytes -> pad by chars
+        ["日本語のテキスト", "です", "ね", "これ", "は", "テスト"],
+        ["X"] * 50,  # heavy duplicate grams
+        ["", "", "", "", ""],  # all-pad gram (9 spaces)
+        ["AB", "", "CD", "", "EF", "GH"],
+        ["TOK%d" % i for i in range(40)],
+    ]
+    got = shingle.fingerprint_batch_signed(streams, hashes=20)
+    for i, toks in enumerate(streams):
+        assert got[i] == shingle.fingerprint_signed(toks, hashes=20), i
+
+
 def test_divdedup():
     from texrex_spark.clean.stripper import Div
 

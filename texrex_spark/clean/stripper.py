@@ -58,7 +58,7 @@ _HTML4_RE = re.compile(r"<!doctype.*html 4", re.IGNORECASE)
 _XHTML_RE = re.compile(r"<!doctype.*xhtml 1", re.IGNORECASE)
 
 
-@dataclass
+@dataclass(slots=True)
 class Div:
     text: str = ""
     container: str = ""
@@ -199,19 +199,21 @@ def strip_document(raw: str, url: str, config: StripperConfig | None = None) -> 
             # corpus tests).  Specials first, exactly as the char machine
             # orders them: comment when the accumulated name is exactly
             # '!--', CDATA when it is exactly '![cdata[' case-folded.
-            if raw.startswith("!--", pos):
-                end = raw.find("-->", pos + 3)
-                pos = (n - 1 if end < 0 else end + 2) + 1
-                tag = "!--"
-                done = True
-                continue
-            if raw[pos : pos + 8].lower() == "![cdata[":
-                tag = raw[pos : pos + 8]
-                end = raw.find("]]>", pos + 8)
-                pos = (n - 1 if end < 0 else end + 2) + 1
-                done = True
-                continue
             ch0 = raw[pos] if pos < n else ""
+            if ch0 == "!":  # one-char guard: comment/CDATA probes cost a
+                # slice+lower each, and almost no tag starts with '!'
+                if raw.startswith("!--", pos):
+                    end = raw.find("-->", pos + 3)
+                    pos = (n - 1 if end < 0 else end + 2) + 1
+                    tag = "!--"
+                    done = True
+                    continue
+                if raw[pos : pos + 8].lower() == "![cdata[":
+                    tag = raw[pos : pos + 8]
+                    end = raw.find("]]>", pos + 8)
+                    pos = (n - 1 if end < 0 else end + 2) + 1
+                    done = True
+                    continue
             if ch0 and ch0 not in TAG_START_CHARS and ch0 != " " and ch0 != ">":
                 # literal '<' revert (§315-329)
                 if reading == "text":

@@ -292,6 +292,17 @@ class HashProvider:
         mat = np.frombuffer(data, dtype=np.uint8)[None, :]
         return _hash_matrix_multi(mat, self.tables)[:, 0]
 
+    def hash_matrix(self, mat: np.ndarray) -> np.ndarray:
+        """Hash a (n, L) uint8 matrix of equal-length keys -> (n, P) uint64,
+        dispatching to the position-table kernel for shingle-sized rows and
+        the block-lane kernel past its cache cap."""
+        n, length = mat.shape
+        if length == 0:
+            return np.zeros((n, self.n), dtype=np.uint64)
+        if (length - length % 8) // 8 <= _POS_BLOCK_CAP:
+            return _hash_matrix_bypos(mat, self._pos)
+        return _hash_matrix_multi(mat, self.tables).T
+
     def hash_batch(self, keys: list[bytes]) -> np.ndarray:
         """All n hashes of many keys -> (len(keys), n) uint64.
 
@@ -317,11 +328,7 @@ class HashProvider:
                 continue  # empty key hashes to 0 under this scheme
             mat = np.frombuffer(b"".join(keys[i] for i in idxs), dtype=np.uint8)
             mat = mat.reshape(len(idxs), length)
-            if (length - length % 8) // 8 <= _POS_BLOCK_CAP:
-                out[np.asarray(idxs), :] = _hash_matrix_bypos(mat, self._pos)
-            else:
-                hashes = _hash_matrix_multi(mat, self.tables)  # (P, n_group)
-                out[np.asarray(idxs), :] = hashes.T
+            out[np.asarray(idxs), :] = self.hash_matrix(mat)
         if dup_dst:
             out[np.asarray(dup_dst), :] = out[np.asarray(dup_src), :]
         return out

@@ -24,6 +24,7 @@ of 10^10 URLs never leaves the JVM).  test_urlnorm.py asserts they agree.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from urllib.parse import urljoin, urlsplit
 
 from pyspark.sql import Column
@@ -151,6 +152,28 @@ def resolve_link(base_url: str, link: str) -> str:
         return ""
 
 
+@lru_cache(maxsize=4096)
+def _split_host(url: str) -> str:
+    """Memoized lowercased hostname ('' = none or malformed — both map to
+    MALFORMED in link_relation).  The memo matters in the stripper's hot
+    path: every link of a page re-parses the same src_url, and nav links
+    repeat across every page of a host (urllib's own _parse_cache holds
+    only 20 entries)."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+@lru_cache(maxsize=4096)
+def _has_scheme(link: str) -> bool | None:
+    """True/False, or None for a ValueError (malformed)."""
+    try:
+        return bool(urlsplit(link).scheme)
+    except ValueError:
+        return None
+
+
 def link_relation(src_url: str, link: str) -> tuple[str, str]:
     """Classify a link vs its source page (trutilities.pas:420-471).
 
@@ -158,9 +181,8 @@ def link_relation(src_url: str, link: str) -> tuple[str, str]:
     trl* constants.  The host comparison is case-folded for the full-host
     case; the non-virtual-host case compares the last two dot-segments.
     """
-    try:
-        link_has_scheme = bool(urlsplit(link).scheme)
-    except ValueError:
+    link_has_scheme = _has_scheme(link)
+    if link_has_scheme is None:
         return link, MALFORMED
     if link_has_scheme:
         # Absolute per the reference's IsAbsoluteUri check — never resolved
@@ -171,11 +193,8 @@ def link_relation(src_url: str, link: str) -> tuple[str, str]:
         resolved = resolve_link(src_url, link)
     if not resolved:
         return link, MALFORMED
-    try:
-        h1 = (urlsplit(src_url).hostname or "").lower()
-        h2 = (urlsplit(resolved).hostname or "").lower()
-    except ValueError:
-        return resolved, MALFORMED
+    h1 = _split_host(src_url)
+    h2 = _split_host(resolved)
     if not h1 or not h2:
         return resolved, MALFORMED
     if h1 == h2:
