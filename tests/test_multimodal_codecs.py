@@ -57,6 +57,10 @@ def test_dispatcher_luma_and_unsupported():
     luma = mm.decode(mm.encode_ppm(rgb), meta)
     assert luma.shape == (4, 4) and luma.dtype == np.uint8
     with pytest.raises(NotImplementedError):
+        mm.decode(b"\x00\x00\x00\x18ftypmp42", {**meta, "mime": "video/mp4"})
+    # JPEG left the stub tier (operators/jpeg.py): corrupt bytes are a
+    # ValueError from the codec, not a missing-codec NotImplementedError
+    with pytest.raises(ValueError):
         mm.decode(b"\xff\xd8\xff", {**meta, "mime": "image/jpeg"})
 
 
@@ -88,6 +92,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/x-portable-pixmap",
         "image/bmp",
         "image/png",
+        "image/jpeg",
         "audio/wav",
     }
 
@@ -347,3 +352,88 @@ def test_png_rgba_resize_roundtrip(spark):
     ys = np.linspace(0, 15, 6).astype(int)
     xs = np.linspace(0, 23, 8).astype(int)
     assert np.array_equal(out, img[np.ix_(ys, xs)])
+
+
+# ---------------- baseline JPEG codec (operators/jpeg.py) ----------------
+
+
+def _smooth_rgb(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)[None, :]
+    y = np.linspace(0, 255, h)[:, None]
+    base = np.clip((x + y) / 2 + rng.normal(0, 2, (h, w)), 0, 255)
+    # photo-like: one smooth luma field, slowly-varying chroma (fast
+    # chroma is exactly what 4:2:0 subsampling is allowed to destroy)
+    return np.clip(
+        np.stack([base, 0.8 * base + 20, 0.6 * base + 50], axis=-1), 0, 255
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    gray = _smooth_rgb(64, 64)[..., 0]
+    dec = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dec.shape == (64, 64) and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - gray.astype(int)).mean() < 4
+
+    rgb = _smooth_rgb(48, 56)
+    dec3 = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert dec3.shape == (48, 56, 3)
+    assert np.abs(dec3.astype(int) - rgb.astype(int)).mean() < 6
+
+
+def test_jpeg_420_subsampling_and_odd_sizes():
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = _smooth_rgb(37, 45)  # non-multiples of the 16x16 MCU
+    enc = encode_jpeg(rgb, quality=92, subsampling="420")
+    dec = decode_jpeg(enc)
+    assert dec.shape == (37, 45, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 8
+    # 4:2:0 must be smaller than 4:4:4 at equal quality
+    assert len(enc) < len(encode_jpeg(rgb, quality=92, subsampling="444"))
+
+
+def test_jpeg_restart_markers():
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rgb = _smooth_rgb(40, 40)
+    plain = decode_jpeg(encode_jpeg(rgb, quality=90))
+    with_rst = decode_jpeg(encode_jpeg(rgb, quality=90, restart_interval=2))
+    # restart segmentation is a bitstream framing detail — identical pixels
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_rejects_corrupt_and_progressive():
+    import struct
+
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    good = encode_jpeg(_smooth_rgb(24, 24), quality=85)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:60])  # truncated before the scan
+    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError tier
+    sof = good.find(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_jpeg_flows_through_decode_and_resize(spark):
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from texrex_spark.operators.multimodal import resize_images
+
+    rgb = _smooth_rgb(32, 32)
+    media = spark.createDataFrame(
+        [("m/j", "image", bytearray(encode_jpeg(rgb, quality=90)),
+          {"width": 32, "height": 32, "duration_ms": 0, "mime": "image/jpeg"})],
+        "media_ref string, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,mime:string>",
+    )
+    out = resize_images(media, 16, 16).collect()
+    assert len(out) == 1 and out[0].meta["mime"] == "image/jpeg"
+    dec = decode_jpeg(bytes(out[0].payload))
+    assert dec.shape == (16, 16, 3)

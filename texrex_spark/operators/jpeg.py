@@ -1,0 +1,555 @@
+"""Pure-stdlib/numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+The reference corpus engine carries no media at all; this codec exists for
+the brief's multimodal tier so ``image/jpeg`` payloads in the media table
+decode like PNG/BMP/PNM do (operators/multimodal.py) instead of sitting in
+the NotImplementedError stub tier.  Everything here derives from the
+public JPEG specification (ITU-T T.81): Annex K quantization and Huffman
+tables, the baseline entropy coding of F.1.2, and the 8x8 type-II/III DCT
+pair expressed as orthonormal matrix products.
+
+Scope (the honest tier ladder):
+- decode: baseline sequential DCT, grayscale or YCbCr, sampling factors
+  4:4:4 / 4:2:2 / 4:2:0 (any h,v in {1,2}), restart markers, multiple
+  DQT/DHT segments.  Progressive (SOF2) and arithmetic coding raise
+  NotImplementedError — they stay in the stub tier.
+- encode: 4:4:4 (color) / single-component (gray) fixture encoder with
+  the Annex K tables at a libjpeg-style quality scale.  It exists so the
+  decoder can be round-trip-tested without any codec library in the
+  container; it is not a rate-optimized writer.
+
+Throughput: the entropy decode is per-symbol Python over a 16-bit peek
+table (one dict-free lookup per Huffman symbol); fine for the fixture
+tier and honest about being the slow path — a production deployment swaps
+libjpeg behind the same decode(payload) signature.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+# Zigzag order (T.81 Figure 5): ZIGZAG[i] = raster index of the i-th
+# zigzag coefficient.
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 base quantization tables (luminance, chrominance), raster order.
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II matrix: forward 2-D DCT = A @ X @ A.T.
+_A = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _A[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0)
+_A *= np.sqrt(2.0 / 8.0)
+_A[0, :] *= np.sqrt(0.5)
+
+
+def _canonical_codes(bits: list[int]) -> list[tuple[int, int]]:
+    """(code, length) per symbol in HUFFVAL order (T.81 C.2)."""
+    out = []
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((code, length))
+            code += 1
+        code <<= 1
+    return out
+
+
+class _HuffTable:
+    """16-bit peek-table Huffman decoder: LOOKUP[peek16] = (symbol, bits)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.sym = np.zeros(1 << 16, dtype=np.int16)
+        self.len = np.zeros(1 << 16, dtype=np.uint8)
+        for (code, length), v in zip(_canonical_codes(bits), vals):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            self.sym[lo:hi] = v
+            self.len[lo:hi] = length
+
+
+def _quant_scaled(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K base table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+# ---------------------------------------------------------------- encode
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, bits) of a DC diff / AC value (T.81 F.1.2.1-F.1.2.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_block(
+    w: _BitWriter, block: np.ndarray, q: np.ndarray,
+    dc: _HuffCodes, ac: _HuffCodes, pred: int,
+) -> int:
+    coeffs = _A @ (block.astype(np.float64) - 128.0) @ _A.T
+    qz = np.round(coeffs.reshape(-1)[ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+    cat, bits = _magnitude(int(qz[0]) - pred)
+    w.write(dc.code[cat], dc.size[cat])
+    if cat:
+        w.write(bits, cat)
+    run = 0
+    nz = np.flatnonzero(qz[1:]) + 1
+    last = 0
+    for i in nz:
+        run = int(i) - last - 1
+        while run >= 16:
+            w.write(ac.code[0xF0], ac.size[0xF0])
+            run -= 16
+        cat, bits = _magnitude(int(qz[i]))
+        sym = (run << 4) | cat
+        w.write(ac.code[sym], ac.size[sym])
+        w.write(bits, cat)
+        last = int(i)
+    if last < 63:
+        w.write(ac.code[0x00], ac.size[0x00])  # EOB
+    return int(qz[0])
+
+
+class _HuffCodes:
+    """symbol -> (code, size) arrays for the encoder."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.code = np.zeros(256, dtype=np.int64)
+        self.size = np.zeros(256, dtype=np.int64)
+        for (code, length), v in zip(_canonical_codes(bits), vals):
+            self.code[v] = code
+            self.size[v] = length
+
+
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _pad_edge(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = p.shape
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[-1:, :]  # edge-replicate pad
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes for a (h, w) gray or (h, w, 3) RGB uint8 array.
+
+    subsampling: "444" (none) or "420" (2x2 luma sampling, box-averaged
+    chroma — the common web layout).  Annex K tables at the given
+    quality.  Exists as the in-container fixture writer for the decoder;
+    deterministic."""
+    gray = img.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, width = img.shape[:2]
+    qlum = _quant_scaled(QUANT_LUM, quality)
+    qchrom = _quant_scaled(QUANT_CHROM, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    planes = [np.clip(np.round(p), 0, 255) for p in planes]
+    sub = subsampling == "420" and not gray
+    lum_hv = 2 if sub else 1
+    if sub:
+        # box-average chroma down 2x2 (pad odd dims by edge replication)
+        ch, cw = (h + 1) // 2, (width + 1) // 2
+        for ci in (1, 2):
+            p = _pad_edge(planes[ci], ch * 2, cw * 2)
+            planes[ci] = (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, qlum),) + (() if gray else ((1, qchrom),)):
+        zz = q[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        hv = (lum_hv << 4) | lum_hv if cid == 1 else 0x11
+        sof += bytes([cid, hv, 0 if cid == 1 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_segment(0x10, AC_LUM_BITS, AC_LUM_VALS)
+    if not gray:
+        out += _dht_segment(0x01, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += _dht_segment(0x11, AC_CHROM_BITS, AC_CHROM_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l, ac_l = _HuffCodes(DC_LUM_BITS, DC_LUM_VALS), _HuffCodes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c, ac_c = _HuffCodes(DC_CHROM_BITS, DC_CHROM_VALS), _HuffCodes(AC_CHROM_BITS, AC_CHROM_VALS)
+    comps = []
+    mcuw, mcuh = 8 * lum_hv, 8 * lum_hv
+    mcux, mcuy = (width + mcuw - 1) // mcuw, (h + mcuh - 1) // mcuh
+    for ci in range(ncomp):
+        chv = lum_hv if ci == 0 else 1
+        comps.append({
+            "plane": _pad_edge(planes[ci], mcuy * 8 * chv, mcux * 8 * chv),
+            "hv": chv,
+            "q": qlum if ci == 0 else qchrom,
+            "dc": dc_l if ci == 0 else dc_c,
+            "ac": ac_l if ci == 0 else ac_c,
+        })
+    w = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            w.flush()
+            out += w.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            w = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["hv"]):
+                for bx in range(c["hv"]):
+                    y0 = (my * c["hv"] + by) * 8
+                    x0 = (mx * c["hv"] + bx) * 8
+                    block = c["plane"][y0 : y0 + 8, x0 : x0 + 8]
+                    preds[ci] = _encode_block(
+                        w, block, c["q"], c["dc"], c["ac"], preds[ci]
+                    )
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+class _BitReader:
+    """MSB-first reader over unstuffed entropy bytes with a 16-bit peek."""
+
+    def __init__(self, data: bytes):
+        # pad so peek16 near the end never indexes out of range
+        self.d = data + b"\x00\x00\x00"
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        byte, off = divmod(self.bitpos, 8)
+        w = (self.d[byte] << 16) | (self.d[byte + 1] << 8) | self.d[byte + 2]
+        return (w >> (8 - off)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.bitpos += n
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
+        return v
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the received magnitude bits to a value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_block(
+    r: _BitReader, dc: _HuffTable, ac: _HuffTable, q: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    p16 = r.peek16()
+    cat = int(dc.sym[p16])
+    r.skip(int(dc.len[p16]))
+    diff = _extend(r.receive(cat), cat)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        p16 = r.peek16()
+        sym = int(ac.sym[p16])
+        r.skip(int(ac.len[p16]))
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index past block end")
+        zz[k] = _extend(r.receive(cat), cat)
+        k += 1
+    coeffs = np.zeros(64, dtype=np.float64)
+    coeffs[ZIGZAG] = zz * q
+    block = _A.T @ coeffs.reshape(8, 8) @ _A
+    return block, pred
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes -> (h, w) uint8 gray or (h, w, 3) RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > n:
+            raise ValueError("corrupt JPEG: truncated segment header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("corrupt JPEG: truncated segment")
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq:  # 16-bit table
+                    tbl = np.frombuffer(seg[i + 1 : i + 129], dtype=">u2").astype(np.int64)
+                    i += 129
+                else:
+                    tbl = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                    i += 65
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl
+                qt[tq] = raster
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w_, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w_, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            )
+        # APPn / COM / others: skipped
+    raise ValueError("corrupt JPEG: no scan data")
+
+
+def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c, _, _ in scan
+    ]
+    # split entropy data at RST markers, unstuff each segment
+    segments = []
+    cur = bytearray()
+    i = pos
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b == 0xFF:
+            nxt = payload[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker ends the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    total_mcus = mcux * mcuy
+    seg_idx = 0
+    r = _BitReader(segments[0])
+    preds = [0] * len(scan)
+    per_seg = restart_interval if restart_interval else total_mcus
+    for m in range(total_mcus):
+        if m and m % per_seg == 0 and seg_idx + 1 < len(segments):
+            seg_idx += 1
+            r = _BitReader(segments[seg_idx])
+            preds = [0] * len(scan)
+        my, mx = divmod(m, mcux)
+        for ci, (comp, td, ta) in enumerate(scan):
+            q = qt[comp["tq"]]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    block, preds[ci] = _decode_block(
+                        r, huff_dc[td], huff_ac[ta], q, preds[ci]
+                    )
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # upsample to full resolution, crop, level-shift
+    full = []
+    for (comp, _, _), p in zip(scan, planes):
+        if comp["h"] < hmax or comp["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

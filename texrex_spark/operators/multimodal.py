@@ -10,14 +10,15 @@ Decode support is tiered by what the container allows:
 
 - **Real decoders** (pure numpy/stdlib, no external libs): binary PGM (P5)
   and PPM (P6), uncompressed 24-bit BMP, 8-bit PNG (stdlib ``zlib`` +
-  all five scanline filters), and 8/16-bit PCM WAV (stdlib ``wave``).
+  all five scanline filters), baseline JPEG incl. 4:2:0 and restart
+  markers (operators/jpeg.py), and 8/16-bit PCM WAV (stdlib ``wave``).
   These are genuine byte-level codecs with encode round-trips, so the
   decode -> feature -> resize -> re-encode pipeline is real end to end,
-  including the most common compressed web image format.
-- **Stub** for the remaining compressed codecs (JPEG/MP4 need PIL/av,
-  absent here): ``decode`` raises ``NotImplementedError`` for their
-  mimes, and the deterministic ``image/fake`` payload keeps distribution
-  tests hermetic.
+  including the two most common compressed web image formats.
+- **Stub** for the remaining compressed tier (progressive JPEG and MP4
+  need PIL/av, absent here): ``decode`` raises ``NotImplementedError``
+  for their mimes, and the deterministic ``image/fake`` payload keeps
+  distribution tests hermetic.
 
 All kernels run per Arrow batch inside ``mapInPandas``; swapping in PIL/av
 for the compressed tier replaces one dispatcher branch.
@@ -322,6 +323,11 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
     if mime == "image/png":
         img = decode_png(payload)
         return img if img.ndim == 2 else _luma(img[..., :3])
+    if mime == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        return img if img.ndim == 2 else _luma(img)
     if mime == "image/fake":
         return decode_stub(payload, meta)
     raise NotImplementedError(
@@ -386,11 +392,12 @@ def feature_row(ref: str, payload: bytes, meta: dict) -> dict:
 
 def synth_real_media_row(ref: str) -> dict:
     """Deterministic REAL-format payload for a ref: cycles PGM / PPM /
-    BMP / WAV by ref hash, every byte produced by the matching encoder,
-    so the decode tier is exercised end to end with no codec libraries."""
+    BMP / PNG / JPEG / WAV by ref hash, every byte produced by the
+    matching encoder, so the decode tier is exercised end to end with no
+    codec libraries."""
     seed = hashlib.md5(ref.encode()).digest()
     rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-    pick = seed[8] % 5
+    pick = seed[8] % 6
     if pick == 3:
         rate = int(rng.choice([8000, 16000]))
         n = int(rng.integers(400, 4000))
@@ -411,9 +418,25 @@ def synth_real_media_row(ref: str) -> dict:
     elif pick == 2:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = encode_bmp(img), "image/bmp"
-    else:
+    elif pick == 4:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = encode_png(img), "image/png"
+    else:
+        from .jpeg import encode_jpeg
+
+        # smooth field, not white noise: JPEG is a transform codec, and
+        # the fixture should look like the photographs it exists for
+        yy = np.linspace(0, 4 * np.pi, h)[:, None]
+        xx = np.linspace(0, 4 * np.pi, w)[None, :]
+        base = 128 + 90 * np.sin(yy + rng.uniform(0, np.pi)) * np.cos(
+            xx * rng.uniform(0.5, 1.5)
+        )
+        img = np.clip(
+            np.stack([base, np.roll(base, 3, 0), np.roll(base, 3, 1)], -1),
+            0, 255,
+        ).astype(np.uint8)
+        sub = "420" if seed[9] % 2 else "444"
+        payload, mime = encode_jpeg(img, quality=90, subsampling=sub), "image/jpeg"
     return {
         "media_ref": ref, "kind": "image", "payload": payload,
         "meta": {"width": w, "height": h, "duration_ms": 0, "mime": mime},
@@ -492,8 +515,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     img, enc = decode_bmp(payload), encode_bmp
                 elif mime == "image/png":
                     img, enc = decode_png(payload), encode_png
+                elif mime == "image/jpeg":
+                    from .jpeg import decode_jpeg, encode_jpeg
+
+                    img, enc = decode_jpeg(payload), encode_jpeg
                 else:
-                    continue  # audio / compressed: passed through elsewhere
+                    continue  # audio / video: passed through elsewhere
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, width).astype(int)
                 rows.append(

@@ -2314,10 +2314,10 @@ def _real_media_rows():
     )
 
     rows = []
-    # prefix "m/": md5-hash picks over m/0..m/7 hit ALL FOUR codec
-    # branches (3x PPM, 3x PGM, 1x WAV, 1x BMP) — asserted below so a
+    # prefix "m/": md5-hash picks over m/0..m/9 hit ALL SIX codec
+    # branches (PGM, PPM, BMP, PNG, JPEG, WAV) — asserted below so a
     # synth change can't silently drop a format from the oracle
-    for k in range(8):
+    for k in range(10):
         m = synth_real_media_row(f"m/{k}")
         if m["kind"] == "audio":
             a = audio_feature_row(m["media_ref"], m["payload"])
@@ -2330,7 +2330,7 @@ def _real_media_rows():
                          round(f["mean_intensity"], 4)))
     assert {r[2] for r in rows} == {
         "image/x-portable-graymap", "image/x-portable-pixmap",
-        "image/bmp", "image/png", "audio/wav",
+        "image/bmp", "image/png", "image/jpeg", "audio/wav",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
@@ -2344,23 +2344,25 @@ def _real_media_rows():
         _real_media_rows(),
         ["tpl", "media_ref", "mime", "kind", "dim_a", "dim_b", "stat"],
     )}
-      ON d.doc_id % 8 = e.tpl
+      ON d.doc_id % 10 = e.tpl
     """,
 )
 def q_media_decode(spark, sf_dir):
     """REAL byte-level codecs (pure numpy/stdlib, multimodal.py): PGM,
     PPM, uncompressed 24-bit BMP, and PCM WAV payloads synthesized by the
     matching encoders, decoded and featured through the distributed
-    mapInPandas path, vs the local-kernel snapshot.  Images report
-    (width, height, mean luma); audio reports (n_samples, channels,
-    RMS).  Compressed mimes (JPEG/PNG/MP4) stay NotImplementedError —
-    their codec libraries are not in this container."""
+    mapInPandas path, vs the local-kernel snapshot — plus the two
+    pure-stdlib compressed codecs (PNG, operators/multimodal.py; baseline
+    JPEG incl. 4:2:0, operators/jpeg.py).  Images report (width, height,
+    mean luma); audio reports (n_samples, channels, RMS).  Progressive
+    JPEG and MP4 stay NotImplementedError — their libraries are not in
+    this container."""
     from ..operators.multimodal import (
         extract_audio_features, extract_features, synth_real_media_df,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 8).cast("string"))
+    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 10).cast("string"))
     spans = docs.select(
         "doc_id",
         F.array(
