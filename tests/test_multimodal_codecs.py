@@ -437,3 +437,29 @@ def test_jpeg_flows_through_decode_and_resize(spark):
     assert len(out) == 1 and out[0].meta["mime"] == "image/jpeg"
     dec = decode_jpeg(bytes(out[0].payload))
     assert dec.shape == (16, 16, 3)
+
+
+def test_jpeg_mutation_fuzz_fails_cleanly():
+    """Bit-flipped and truncated JPEG payloads must either decode to an
+    array or raise ValueError/NotImplementedError — never IndexError /
+    struct.error / infinite loop — since crawl payloads are untrusted."""
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    good = bytearray(encode_jpeg(_smooth_rgb(24, 24), quality=85,
+                                 subsampling="420", restart_interval=2))
+    for trial in range(300):
+        bad = bytearray(good)
+        mode = trial % 3
+        if mode == 0:  # single byte flip
+            bad[rng.integers(2, len(bad))] ^= 1 << rng.integers(0, 8)
+        elif mode == 1:  # truncate
+            bad = bad[: rng.integers(2, len(bad))]
+        else:  # splice garbage
+            at = rng.integers(2, len(bad))
+            bad[at : at + 4] = bytes(rng.integers(0, 256, 4, dtype=np.uint8))
+        try:
+            out = decode_jpeg(bytes(bad))
+            assert isinstance(out, np.ndarray)
+        except (ValueError, NotImplementedError):
+            pass

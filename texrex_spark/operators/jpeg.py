@@ -447,20 +447,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("corrupt JPEG: truncated DHT")
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1 : i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(seg):
+                    raise ValueError("corrupt JPEG: truncated DHT values")
                 vals = list(seg[i + 17 : i + 17 + nv])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("corrupt JPEG: short SOF")
             prec, h, w_, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if h == 0 or w_ == 0 or nc == 0 or len(seg) < 6 + 3 * nc:
+                raise ValueError("corrupt JPEG: bad SOF dimensions")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("corrupt JPEG: bad sampling factors")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w_, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -471,15 +482,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("corrupt JPEG: short SOS")
             ns = seg[0]
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
-            )
+                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                td, ta = tdta >> 4, tdta & 0x0F
+                if comp is None or td not in huff_dc or ta not in huff_ac \
+                        or comp["tq"] not in qt:
+                    raise ValueError("corrupt JPEG: scan references missing "
+                                     "component or table")
+                scan.append((comp, td, ta))
+            try:
+                return _decode_scan(
+                    payload, pos, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            except IndexError as e:
+                # untrusted input: an exhausted bitstream or mid-entropy
+                # truncation surfaces as a clean decode error
+                raise ValueError(f"corrupt JPEG: entropy data exhausted ({e})")
         # APPn / COM / others: skipped
     raise ValueError("corrupt JPEG: no scan data")
 
