@@ -50,6 +50,28 @@ WHITESPACE = {"\t", "\n", "\r", " "}
 _WS_RUN = re.compile(r"[\t\n\r ]+")
 _ATTR_DELIM = re.compile(r"[>'\"]")
 _TAG_NAME = re.compile(r"[^ >]*")  # the char machine stops ONLY at ' ' / '>'
+# One-pass document tokenizer: each alternative is a faithful transcription
+# of a char-machine case (ordered exactly as the machine probes them).
+# Tokenization is state-independent — comments, CDATA, quote-aware
+# attribute skips, and literal-'<' reverts behave identically in text,
+# drop-subtree, and pre-body modes — so the whole document can be lexed by
+# the regex engine in C and only per-TAG dispatch stays in Python.
+#   alt 1: comment   — '<!--' fast-forwarded to '-->' or EOF (§270-283)
+#   alt 2: CDATA     — '<![CDATA[' (case-folded) to ']]>' or EOF (§284-298)
+#   alt 3: tag       — name [^ >]* (stops ONLY at ' '/'>', §330-343); then
+#          '>' | ' ' + quote-aware attribute scan (§344-441; an
+#          unterminated quote or missing '>' consumes to EOF) | EOF mid-name
+#   alt 4: literal   — '<' + any char outside [a-zA-Z/!?> ] is TEXT, and the
+#          consumed char can never start a tag (§315-329) — hence a
+#          two-char match, not a lookahead
+_MASTER = re.compile(
+    r"<!--(?:.*?-->|.*)"
+    r"|<!\[[Cc][Dd][Aa][Tt][Aa]\[(?:.*?\]\]>|.*)"
+    r"|<(?=[a-zA-Z/!?> ])([^ >]*)"
+    r"(?:(>)|[ ]((?:[^>'\"]+|\"[^\"]*\"|'[^']*')*)(>|\"[^\"]*$|'[^']*$|$)|$)"
+    r"|<[^a-zA-Z/!?> ]",
+    re.DOTALL,
+)
 _HREF_RE = re.compile(r'href=["\']([^"\' ]+)["\']', re.IGNORECASE)
 _SRC_RE = re.compile(r'src=["\']([^"\' ]+)["\']', re.IGNORECASE)
 _ENCODING_RE = re.compile(r'<meta[^<]+charset=([^ ">/]+)[ ">/]', re.IGNORECASE)
@@ -165,117 +187,6 @@ def strip_document(raw: str, url: str, config: StripperConfig | None = None) -> 
         if raw_tag in CONTAINER_TYPES:
             cur.container = CONTAINER_TYPES[raw_tag]
 
-    def advance_to_next_tag() -> str:
-        """Scan to the end of the next tag, writing text chars on the way.
-
-        Returns the lowercased tag name ('' at EOF).
-
-        Structured as three bulk jumps instead of a per-character loop
-        (the round-1 char state machine is the semantic oracle; the
-        golden-corpus tests gate this rewrite):
-        - SEARCH: str.find('<') + chunked whitespace-collapse write
-        - READ:   per-char only across the (short) tag name
-        - SKIP:   attribute scan jumping between quote/'>' delimiters
-        """
-        nonlocal pos, cur
-        tag = ""
-        anchor_start = -1
-        done = False
-        while pos < n and not done:
-            # -- SEARCH: bulk-jump to the next '<', writing the text chunk
-            idx = raw.find("<", pos)
-            if idx < 0:
-                if reading == "text":
-                    write_text(raw[pos:])
-                pos = n
-                break
-            if reading == "text" and idx > pos:
-                write_text(raw[pos:idx])
-            pos = idx + 1
-            tag = ""
-            # -- READ: the tag name in one regex match instead of the
-            # round-1 per-char accumulate (same stops: ' ' / '>' / EOF;
-            # the char machine remains the semantic oracle via the golden
-            # corpus tests).  Specials first, exactly as the char machine
-            # orders them: comment when the accumulated name is exactly
-            # '!--', CDATA when it is exactly '![cdata[' case-folded.
-            ch0 = raw[pos] if pos < n else ""
-            if ch0 == "!":  # one-char guard: comment/CDATA probes cost a
-                # slice+lower each, and almost no tag starts with '!'
-                if raw.startswith("!--", pos):
-                    end = raw.find("-->", pos + 3)
-                    pos = (n - 1 if end < 0 else end + 2) + 1
-                    tag = "!--"
-                    done = True
-                    continue
-                if raw[pos : pos + 8].lower() == "![cdata[":
-                    tag = raw[pos : pos + 8]
-                    end = raw.find("]]>", pos + 8)
-                    pos = (n - 1 if end < 0 else end + 2) + 1
-                    done = True
-                    continue
-            if ch0 and ch0 not in TAG_START_CHARS and ch0 != " " and ch0 != ">":
-                # literal '<' revert (§315-329)
-                if reading == "text":
-                    write_char(raw[pos - 1])
-                    write_char(ch0)
-                pos += 1
-                continue
-            tag = _TAG_NAME.match(raw, pos).group(0)
-            pos += len(tag)
-            if pos >= n:
-                break  # EOF mid-tag: fall through with the partial tag
-            ch = raw[pos]
-            if ch == " ":
-                if tag in ("a", "img"):
-                    anchor_start = pos
-                pos += 1
-                # -- SKIP: quote-aware attribute scan, jump-based
-                quot = None
-                while pos < n:
-                    if quot is not None:
-                        q = raw.find(quot, pos)
-                        if q < 0:
-                            pos = n
-                            break
-                        pos = q + 1
-                        quot = None
-                        continue
-                    m = _ATTR_DELIM.search(raw, pos)
-                    if m is None:
-                        pos = n
-                        break
-                    c = m.group(0)
-                    if c == ">":
-                        gt = m.start()
-                        if cfg.extract_anchors and tag == "a" and anchor_start >= 0:
-                            _extract_link(raw[anchor_start:gt])
-                        if cfg.extract_media and tag == "img" and reading == "text":
-                            _extract_media(
-                                raw[anchor_start if anchor_start >= 0 else gt:gt]
-                            )
-                        pos = gt + 1
-                        break
-                    quot = c
-                    pos = m.start() + 1
-                done = True
-            else:  # ch == ">" (the name regex stops only at ' ' or '>')
-                pos += 1
-                done = True
-
-        # media needs the attribute text even when anchor_start wasn't set
-        tag = tag.lower()
-        if cur is not None and len(tag) > 0:
-            if tag[0] == "/":
-                cur.close_tags += 1
-            else:
-                cur.open_tags += 1
-            if tag[0] == "a":
-                cur.anchors += 1
-        if tag in ("br", "br/"):
-            write_char(" ")
-        return tag
-
     def _extract_link(attr_text: str) -> None:
         if cur is None:
             return
@@ -304,31 +215,70 @@ def strip_document(raw: str, url: str, config: StripperConfig | None = None) -> 
         else:
             res.events.append(("media", m.group(1)))
 
-    # ---- move to document start (<body>) ------------------------------
-    while pos < n and reading == "outside":
-        tag = advance_to_next_tag()
-        if tag in DOCUMENT_CONTAINERS:
-            reading = "text"
-            doc_close = "/" + tag
-            res.raw_header = raw[:pos]
-            m = _ENCODING_RE.search(res.raw_header)
-            if m:
-                res.source_charset = m.group(1)
-            if _XHTML_RE.search(res.raw_header):
-                res.doctype = "xhtml"
-            elif _HTML4_RE.search(res.raw_header):
-                res.doctype = "html4"
-            elif _HTML5_RE.search(res.raw_header):
-                res.doctype = "html5"
-            new_div(tag)
-
-    # ---- main body loop -------------------------------------------------
-    while pos < n and reading != "outside":
-        tag = advance_to_next_tag()
-        if tag == doc_close:
-            reading = "outside"
-        elif tag in DOCUMENT_CONTAINERS:
-            reading = "outside"
+    # ---- single tokenizer pass + state machine --------------------------
+    # _MASTER lexes the whole document in the regex engine; Python touches
+    # one event per tag.  Literal-'<' reverts (alt 4) are text, not tags:
+    # they stay inside the pending gap and the consumed char can never
+    # start a tag — exactly the char machine's resume rule (§315-329).
+    # The per-call advance_to_next_tag() machine this replaces is pinned
+    # by the golden corpus tests and a 4k-doc differential fuzz.
+    gap_start = 0
+    last_end = 0  # end of the furthest match (literal pairs included)
+    stopped = False
+    for m in _MASTER.finditer(raw):
+        name = m.group(1)
+        if name is None:
+            s0 = m.group(0)
+            if s0[1] != "!":
+                last_end = m.end()
+                continue  # literal revert: text, stays in the gap
+            tag = "!--" if s0.startswith("<!--", 0, 4) else "![cdata["
+        else:
+            tag = None
+        ms = m.start()
+        if reading == "text" and ms > gap_start:
+            write_text(raw[gap_start:ms])
+        pos = m.end()
+        gap_start = pos
+        last_end = pos
+        if tag is None:
+            # attribute-terminated-by-'>' tags are the only link/media
+            # source (an EOF-truncated attribute scan never extracts)
+            if m.group(4) == ">" and (name == "a" or name == "img"):
+                attr_text = raw[m.end(1) : pos - 1]
+                if cfg.extract_anchors and name == "a":
+                    _extract_link(attr_text)
+                if cfg.extract_media and name == "img" and reading == "text":
+                    _extract_media(attr_text)
+            tag = name.lower()
+        if cur is not None and tag:
+            if tag[0] == "/":
+                cur.close_tags += 1
+            else:
+                cur.open_tags += 1
+            if tag[0] == "a":
+                cur.anchors += 1
+        if tag == "br" or tag == "br/":
+            write_char(" ")
+        if reading == "outside":
+            # pre-body: only a document container transitions (§623-646)
+            if tag in DOCUMENT_CONTAINERS:
+                reading = "text"
+                doc_close = "/" + tag
+                res.raw_header = raw[:pos]
+                hm = _ENCODING_RE.search(res.raw_header)
+                if hm:
+                    res.source_charset = hm.group(1)
+                if _XHTML_RE.search(res.raw_header):
+                    res.doctype = "xhtml"
+                elif _HTML4_RE.search(res.raw_header):
+                    res.doctype = "html4"
+                elif _HTML5_RE.search(res.raw_header):
+                    res.doctype = "html5"
+                new_div(tag)
+        elif tag == doc_close or tag in DOCUMENT_CONTAINERS:
+            stopped = True  # document over: the machine stops scanning
+            break
         elif drop_close == "" and tag in DROP_CONTAINERS:
             reading = "markup"
             drop_close = "/" + tag
@@ -337,6 +287,16 @@ def strip_document(raw: str, url: str, config: StripperConfig | None = None) -> 
             drop_close = ""
         elif reading == "text" and tag in BREAK_TAGS:
             new_div(tag)
+    if not stopped:
+        if reading == "text" and gap_start < n:
+            tail = raw[gap_start:]
+            if tail[-1] == "<" and last_end < n:
+                # a lone UNCONSUMED '<' as the final char is dropped
+                # (SEARCH steps past it and hits EOF); a trailing '<'
+                # inside a literal-revert pair (last_end == n) is text
+                tail = tail[:-1]
+            write_text(tail)
+        pos = n
 
     # close any open paragraph (§701-702)
     new_div("")
