@@ -126,11 +126,13 @@ def bench_clean_chain(spark, n_docs: int = 24000) -> dict:
     df = synth.docs_df(spark, corpus).select("doc_id", "url", "raw_html").persist()
     df.count()
     cfg = ChainConfig(use_assessment=False, shingle_hashes=100)
-    # Discarded warm-up (same methodology as the frontier warm-up in
-    # main()): the first chain run pays python-worker spin-up + Rabin
-    # position-table build in every worker, which is one-time process
-    # state, not chain throughput.
-    clean_docs(df.limit(2000), cfg).write.format("noop").mode("overwrite").save()
+    # Discarded FULL-SIZE warm-up (same methodology as the frontier
+    # warm-up in main()): the first chain run pays python-worker spin-up,
+    # per-worker Rabin position-table builds, AND first-touch page faults
+    # for the batch-sized arrays (pathologically slow on this host, see
+    # BENCH.md) — all one-time process state, not chain throughput.  Full
+    # size so the allocator high-water covers the measured runs.
+    clean_docs(df, cfg).write.format("noop").mode("overwrite").save()
     times = []
     for _ in range(2):  # min of 2: one external host-load wave can't poison it
         _wait_quiet()
