@@ -91,3 +91,32 @@ def test_equal_length_matrix_path():
     out = r.hash_matrix(mat)
     for i, k in enumerate(keys):
         assert int(out[i]) == r.hash(k)
+
+def test_alphabet_compaction_paths_match_block_kernel():
+    """The alphabet-compacted position-table path (rabin._PosTables.
+    compact_for) must be bit-identical to the block-serial oracle across
+    its state transitions: first narrow-alphabet batch, alphabet growth,
+    a second key length sharing the compacted twin, the >cap fallback
+    that turns compaction off, and post-off batches."""
+    from texrex_spark.functions import rabin
+
+    p = HashProvider(20)
+    rng = np.random.default_rng(11)
+    narrow = np.frombuffer(b"ABCDEFGHIJKLMNOPQRSTUVWXYZ ", dtype=np.uint8)
+    wide = np.frombuffer(bytes(range(256)), dtype=np.uint8)
+
+    def check(mat):
+        got = p.hash_matrix(mat)
+        want = rabin._hash_matrix_multi(mat, p.tables).T
+        assert np.array_equal(got, want)
+
+    check(narrow[rng.integers(0, 27, size=(500, 45))])     # build twin
+    assert p._pos._cc is not None and not p._pos._compact_off
+    mixed = np.concatenate([narrow, np.frombuffer(b"0123456789", dtype=np.uint8)])
+    check(mixed[rng.integers(0, 37, size=(500, 45))])      # alphabet grows
+    assert len(p._pos._alpha) == 37
+    check(mixed[rng.integers(0, 37, size=(200, 17))])      # second length, shared twin
+    check(mixed[rng.integers(0, 37, size=(200, 88))])      # longer key grows cc rows
+    check(wide[rng.integers(0, 256, size=(200, 45))])      # cap exceeded
+    assert p._pos._compact_off and p._pos._cc is None
+    check(narrow[rng.integers(0, 27, size=(200, 45))])     # still correct after off

@@ -127,6 +127,12 @@ class Rabin64:
 # _POS_BLOCK_CAP so a pathological key can't allocate unbounded tables).
 _POS_BLOCK_CAP = 64
 
+# Compact the per-position tables to the observed byte alphabet only while
+# the union stays under this many values: past it the working-set shrink
+# that motivates compaction (see _PosTables.compact_for) mostly evaporates
+# while the remap pass still costs a full read of the key matrix.
+_COMPACT_ALPHABET_CAP = 160
+
 
 class _PosTables:
     """Lazily grown per-position contribution tables for a (P,8,256)
@@ -143,6 +149,17 @@ class _PosTables:
             c0[0, u, :, :] = (v << _U64(8 * u))[:, None]
         self.c = c0
         self._tabs_by_len: dict[int, list] = {}
+        # alphabet-compacted twin of c (see compact_for): byte values
+        # actually observed, remap table, compacted copy, per-length view
+        # cache keyed to the alphabet version, and a permanent off switch
+        # once the union alphabet stops paying for itself.
+        self._alpha: np.ndarray | None = None
+        self._alpha_mask: np.ndarray | None = None
+        self._alpha_remap: np.ndarray | None = None
+        self._alpha_version = 0
+        self._cc: np.ndarray | None = None
+        self._ctabs_by_len: dict[int, tuple[int, list]] = {}
+        self._compact_off = False
 
     def tabs_for(self, length: int) -> list:
         """Per-byte (256, P) contribution views for one key length,
@@ -159,6 +176,65 @@ class _PosTables:
             ]
             self._tabs_by_len[length] = tabs
         return tabs
+
+    def compact_for(self, length: int, mat: np.ndarray):
+        """(remap, per-byte tabs) views into an alphabet-compacted twin of
+        ``c``, or None when the observed alphabet is too wide to pay off.
+
+        The full per-length working set is L x (256, P) ~= 9 MB at P=100 —
+        when 32 executor workers gather from their own copies concurrently
+        they thrash the shared L3.  Real shingle text touches only ~30-80
+        distinct byte values, so keeping ONE compacted copy of ``c``
+        (shape (m, 8, A, P)) shrinks the per-worker set to ~1-2 MB
+        (L2-resident; measured ~2.3x parallel wall on a 32-process pool, a
+        wash single-threaded).  All key lengths share the twin through
+        views, exactly like tabs_for over ``c``, so memory is bounded by
+        A/256 of ``c`` itself.  The alphabet is a process-lifetime union
+        that grows (one recompact) when a batch brings new bytes —
+        steady-state batches recompact never; past _COMPACT_ALPHABET_CAP
+        compaction turns off permanently for this table stack."""
+        if self._compact_off:
+            return None
+        present = np.flatnonzero(np.bincount(mat.ravel(), minlength=256))
+        alpha = self._alpha
+        nblocks = (length - length % 8) // 8
+        if alpha is None or not self._alpha_mask[present].all():
+            alpha = (
+                present
+                if alpha is None
+                else np.union1d(present, alpha)
+            )
+            if len(alpha) > _COMPACT_ALPHABET_CAP:
+                self._compact_off = True
+                self._cc = None
+                self._ctabs_by_len.clear()
+                return None
+            self._alpha = alpha
+            mask = np.zeros(256, dtype=bool)
+            mask[alpha] = True
+            self._alpha_mask = mask
+            remap = np.zeros(256, dtype=np.uint8)
+            remap[alpha] = np.arange(len(alpha), dtype=np.uint8)
+            self._alpha_remap = remap
+            self._alpha_version += 1
+            self._cc = None
+        if self._cc is None or self._cc.shape[0] <= nblocks:
+            self.grown(nblocks)  # make sure c covers this length first
+            self._cc = np.ascontiguousarray(self.c[:, :, self._alpha, :])
+            self._alpha_version += 1
+            self._ctabs_by_len.clear()
+        hit = self._ctabs_by_len.get(length)
+        if hit is not None and hit[0] == self._alpha_version:
+            return self._alpha_remap, hit[1]
+        starter = length % 8
+        cc = self._cc
+        tabs = [
+            cc[nblocks, starter - 1 - b] if b < starter
+            else cc[nblocks - 1 - (b - starter) // 8, 7 - (b - starter) % 8]
+            for b in range(length)
+        ]
+        self._ctabs_by_len[length] = (self._alpha_version, tabs)
+        return self._alpha_remap, tabs
 
     def grown(self, m_max: int) -> np.ndarray:
         while self.c.shape[0] <= m_max:
@@ -190,7 +266,12 @@ def _hash_matrix_bypos(
     p = pos.tables.shape[0]
     # per-byte (m, u): starter byte b enters at lane (starter-1-b) and
     # sees all nblocks shifts; block-k byte sees nblocks-k shifts.
-    tabs = pos.tabs_for(length)
+    compact = pos.compact_for(length, mat)
+    if compact is not None:
+        remap, tabs = compact
+        mat = remap[mat]
+    else:
+        tabs = pos.tabs_for(length)
     out = np.empty((n, p), dtype=np.uint64)
     for s in range(0, n, chunk):
         sl = mat[s : s + chunk]
