@@ -84,6 +84,15 @@ def test_synth_real_media_row_covers_all_formats():
             s, rate = mm.decode_wav(bytes(row["payload"]))
             # meta duration must be consistent with the decoded samples
             assert row["meta"]["duration_ms"] == int(s.shape[0] * 1000 / rate)
+        elif row["kind"] == "video":
+            from texrex_spark.operators.mp4 import video_track
+
+            t = video_track(bytes(row["payload"]))
+            assert t["codec"] == "jpeg"
+            assert (t["width"], t["height"]) == (
+                row["meta"]["width"], row["meta"]["height"],
+            )
+            assert t["duration_ms"] == row["meta"]["duration_ms"]
         else:
             img = mm.decode(bytes(row["payload"]), row["meta"])
             assert img.shape == (row["meta"]["height"], row["meta"]["width"])
@@ -94,6 +103,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/png",
         "image/jpeg",
         "audio/wav",
+        "video/mp4",
     }
 
 

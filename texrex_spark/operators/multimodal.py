@@ -14,11 +14,14 @@ Decode support is tiered by what the container allows:
   markers (operators/jpeg.py), and 8/16-bit PCM WAV (stdlib ``wave``).
   These are genuine byte-level codecs with encode round-trips, so the
   decode -> feature -> resize -> re-encode pipeline is real end to end,
-  including the two most common compressed web image formats.
-- **Stub** for the remaining compressed tier (progressive JPEG and MP4
-  need PIL/av, absent here): ``decode`` raises ``NotImplementedError``
-  for their mimes, and the deterministic ``image/fake`` payload keeps
-  distribution tests hermetic.
+  including the two most common compressed web image formats.  Video:
+  MJPEG-in-MP4 — a full ISO BMFF box/sample-table parser + writer
+  (operators/mp4.py) over the baseline JPEG codec — and concatenated-PPM
+  streams, both driving the ``sample_frames`` frame-sampling stage.
+- **Stub** for the remaining compressed tier (progressive JPEG and
+  inter-frame video codecs like H.264 need PIL/av, absent here):
+  ``decode`` raises ``NotImplementedError`` for their mimes, and the
+  deterministic ``image/fake`` payload keeps distribution tests hermetic.
 
 All kernels run per Arrow batch inside ``mapInPandas``; swapping in PIL/av
 for the compressed tier replaces one dispatcher branch.
@@ -397,7 +400,32 @@ def synth_real_media_row(ref: str) -> dict:
     codec libraries."""
     seed = hashlib.md5(ref.encode()).digest()
     rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-    pick = seed[8] % 6
+    pick = seed[8] % 7
+    if pick == 6:
+        from .mp4 import encode_mjpeg_mp4
+
+        w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+        fps = int(rng.choice([5, 10, 25]))
+        n_frames = int(rng.integers(3, 8))
+        yy = np.linspace(0, 4 * np.pi, h)[:, None]
+        xx = np.linspace(0, 4 * np.pi, w)[None, :]
+        phase = rng.uniform(0, np.pi)
+        frames = []
+        for i in range(n_frames):
+            base = 128 + 90 * np.sin(yy + phase + 0.4 * i) * np.cos(xx)
+            frames.append(
+                np.clip(
+                    np.stack([base, np.roll(base, 3, 0), np.roll(base, 3, 1)], -1),
+                    0, 255,
+                ).astype(np.uint8)
+            )
+        return {
+            "media_ref": ref, "kind": "video",
+            "payload": encode_mjpeg_mp4(frames, fps=fps, quality=90),
+            "meta": {"width": w, "height": h,
+                     "duration_ms": max(1000 // fps, 1) * n_frames,
+                     "mime": "video/mp4"},
+        }
     if pick == 3:
         rate = int(rng.choice([8000, 16000]))
         n = int(rng.integers(400, 4000))
@@ -497,6 +525,47 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(work, AUDIO_FEATURE_SCHEMA)
 
 
+VIDEO_FEATURE_SCHEMA = (
+    "media_ref string, codec string, n_frames int, width int, height int, "
+    "duration_ms int, mean_intensity double"
+)
+
+
+def video_feature_row(ref: str, payload: bytes) -> dict:
+    """Pure per-object kernel behind extract_video_features: container
+    metadata from the sample tables plus mean luma over every 2nd frame
+    (the frame-sample path, operators/mp4.py)."""
+    from .mp4 import decode_mjpeg_frames, video_track
+
+    track = video_track(bytes(payload))
+    sampled = decode_mjpeg_frames(bytes(payload), every_k=2)
+    lumas = [_luma(a) for _, _, a in sampled]
+    return {
+        "media_ref": ref,
+        "codec": track["codec"],
+        "n_frames": track["n_samples"],
+        "width": track["width"],
+        "height": track["height"],
+        "duration_ms": track["duration_ms"],
+        "mean_intensity": float(np.mean([f.mean() for f in lumas])),
+    }
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """MP4 sample-table parse -> every-2nd-frame MJPEG decode -> per-clip
+    features, per Arrow batch — the video twin of extract_features."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sel = pdf[pdf["kind"] == "video"]
+            yield pd.DataFrame(
+                [video_feature_row(r, p) for r, p in zip(sel["media_ref"], sel["payload"])],
+                columns=[c.split(" ")[0] for c in VIDEO_FEATURE_SCHEMA.split(", ")],
+            )
+
+    return media.mapInPandas(work, VIDEO_FEATURE_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Nearest-neighbor resize of every decodable image, re-encoded in
     its ORIGINAL format (PGM stays PGM, PPM/BMP keep color) — a real
@@ -558,22 +627,32 @@ def decode_pnm_stream(payload: bytes) -> list[np.ndarray]:
 
 
 def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
-    """Frame-sampling stage for video payloads (mime video/x-pnm-stream):
-    decode the stream, keep every k-th frame, and emit each kept frame as
-    its own single-image media row (``media_ref#<frame_idx>``) so the
-    whole image pipeline (features, resize, near-dup) applies downstream.
-    Real byte-level parsing; compressed containers (MP4 etc.) would slot
-    into the same kernel via av."""
+    """Frame-sampling stage for video payloads: decode the stream, keep
+    every k-th frame, and emit each kept frame as its own single-image
+    media row (``media_ref#<frame_idx>``) so the whole image pipeline
+    (features, resize, near-dup) applies downstream.  Two real container
+    formats: concatenated-PPM streams (byte-concatenation grammar) and
+    MJPEG-in-MP4 (full ISO BMFF sample-table walk, operators/mp4.py);
+    inter-frame codecs (H.264 etc.) would slot into the same kernel via
+    av."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import decode_mjpeg_frames
+
         for pdf in batches:
             rows = []
             for ref, payload, meta in zip(pdf["media_ref"], pdf["payload"], pdf["meta"]):
-                if meta["mime"] != "video/x-pnm-stream":
+                if meta["mime"] == "video/mp4":
+                    frames = [a for _, _, a in
+                              decode_mjpeg_frames(bytes(payload), every_k)]
+                    idxs = range(0, every_k * len(frames), every_k)
+                elif meta["mime"] == "video/x-pnm-stream":
+                    all_frames = decode_pnm_stream(bytes(payload))
+                    idxs = range(0, len(all_frames), every_k)
+                    frames = [all_frames[i] for i in idxs]
+                else:
                     continue
-                for i, frame in enumerate(decode_pnm_stream(bytes(payload))):
-                    if i % every_k:
-                        continue
+                for i, frame in zip(idxs, frames):
                     h, w, _ = frame.shape
                     rows.append(
                         {

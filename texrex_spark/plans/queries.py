@@ -2313,16 +2313,23 @@ def _real_media_rows():
         audio_feature_row, feature_row, synth_real_media_row,
     )
 
+    from ..operators.multimodal import video_feature_row
+
     rows = []
-    # prefix "m/": md5-hash picks over m/0..m/9 hit ALL SIX codec
-    # branches (PGM, PPM, BMP, PNG, JPEG, WAV) — asserted below so a
-    # synth change can't silently drop a format from the oracle
-    for k in range(10):
+    # prefix "m/": md5-hash picks over m/0..m/15 hit ALL SEVEN codec
+    # branches (PGM, PPM, BMP, PNG, JPEG, WAV, MJPEG-MP4) — asserted
+    # below so a synth change can't silently drop a format from the oracle
+    for k in range(16):
         m = synth_real_media_row(f"m/{k}")
         if m["kind"] == "audio":
             a = audio_feature_row(m["media_ref"], m["payload"])
             rows.append((k, m["media_ref"], m["meta"]["mime"], "audio",
                          a["n_samples"], a["channels"], round(a["rms"], 4)))
+        elif m["kind"] == "video":
+            v = video_feature_row(m["media_ref"], m["payload"])
+            rows.append((k, m["media_ref"], m["meta"]["mime"], "video",
+                         v["n_frames"], v["width"],
+                         round(v["mean_intensity"], 4)))
         else:
             f = feature_row(m["media_ref"], m["payload"], m["meta"])
             rows.append((k, m["media_ref"], m["meta"]["mime"], "image",
@@ -2330,7 +2337,7 @@ def _real_media_rows():
                          round(f["mean_intensity"], 4)))
     assert {r[2] for r in rows} == {
         "image/x-portable-graymap", "image/x-portable-pixmap",
-        "image/bmp", "image/png", "image/jpeg", "audio/wav",
+        "image/bmp", "image/png", "image/jpeg", "audio/wav", "video/mp4",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
@@ -2344,7 +2351,7 @@ def _real_media_rows():
         _real_media_rows(),
         ["tpl", "media_ref", "mime", "kind", "dim_a", "dim_b", "stat"],
     )}
-      ON d.doc_id % 10 = e.tpl
+      ON d.doc_id % 16 = e.tpl
     """,
 )
 def q_media_decode(spark, sf_dir):
@@ -2353,16 +2360,19 @@ def q_media_decode(spark, sf_dir):
     matching encoders, decoded and featured through the distributed
     mapInPandas path, vs the local-kernel snapshot — plus the two
     pure-stdlib compressed codecs (PNG, operators/multimodal.py; baseline
-    JPEG incl. 4:2:0, operators/jpeg.py).  Images report (width, height,
-    mean luma); audio reports (n_samples, channels, RMS).  Progressive
-    JPEG and MP4 stay NotImplementedError — their libraries are not in
-    this container."""
+    JPEG incl. 4:2:0, operators/jpeg.py) and MJPEG-in-MP4 video (full
+    ISO BMFF sample-table parse + every-2nd-frame decode,
+    operators/mp4.py).  Images report (width, height, mean luma); audio
+    (n_samples, channels, RMS); video (n_frames, width, mean sampled
+    luma).  Progressive JPEG and inter-frame video codecs stay
+    NotImplementedError — their libraries are not in this container."""
     from ..operators.multimodal import (
-        extract_audio_features, extract_features, synth_real_media_df,
+        extract_audio_features, extract_features, extract_video_features,
+        synth_real_media_df,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 10).cast("string"))
+    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 16).cast("string"))
     spans = docs.select(
         "doc_id",
         F.array(
@@ -2383,7 +2393,12 @@ def q_media_decode(spark, sf_dir):
         F.col("n_samples").alias("dim_a"), F.col("channels").alias("dim_b"),
         F.round("rms", 4).alias("stat"),
     )
-    feats = img.unionByName(aud)
+    vid = extract_video_features(media).select(
+        "media_ref",
+        F.col("n_frames").alias("dim_a"), F.col("width").alias("dim_b"),
+        F.round("mean_intensity", 4).alias("stat"),
+    )
+    feats = img.unionByName(aud).unionByName(vid)
     meta = media.select(
         "media_ref", "kind", F.col("meta.mime").alias("mime")
     )
