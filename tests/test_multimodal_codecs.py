@@ -425,11 +425,16 @@ def test_jpeg_rejects_corrupt_and_progressive():
     good = encode_jpeg(_smooth_rgb(24, 24), quality=85)
     with pytest.raises(ValueError):
         decode_jpeg(good[:60])  # truncated before the scan
-    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError tier
+    # flip SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is invalid
+    # under a progressive frame — corrupt input, not a missing codec
     sof = good.find(b"\xff\xc0")
     prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
+    # lossless (SOF3) remains the honest NotImplementedError tier
+    lossless = good[:sof] + b"\xff\xc3" + good[sof + 2 :]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(lossless)
 
 
 def test_jpeg_flows_through_decode_and_resize(spark):

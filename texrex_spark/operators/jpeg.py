@@ -9,14 +9,20 @@ tables, the baseline entropy coding of F.1.2, and the 8x8 type-II/III DCT
 pair expressed as orthonormal matrix products.
 
 Scope (the honest tier ladder):
-- decode: baseline sequential DCT, grayscale or YCbCr, sampling factors
-  4:4:4 / 4:2:2 / 4:2:0 (any h,v in {1,2}), restart markers, multiple
-  DQT/DHT segments.  Progressive (SOF2) and arithmetic coding raise
+- decode: baseline sequential DCT (SOF0/1), grayscale or YCbCr, sampling
+  factors 4:4:4 / 4:2:2 / 4:2:0 (any h,v in {1,2}), restart markers,
+  multiple DQT/DHT segments; AND progressive DCT (SOF2, Annex G Huffman
+  path) — spectral selection, successive approximation (DC + AC first
+  and refinement scans, EOB runs), with a truncated-at-a-scan-boundary
+  file rendering the coarse preview exactly as a browser would.
+  Arithmetic coding and lossless/hierarchical modes raise
   NotImplementedError — they stay in the stub tier.
-- encode: 4:4:4 (color) / single-component (gray) fixture encoder with
-  the Annex K tables at a libjpeg-style quality scale.  It exists so the
-  decoder can be round-trip-tested without any codec library in the
-  container; it is not a rate-optimized writer.
+- encode: baseline (``encode_jpeg``) and progressive
+  (``encode_progressive_jpeg``, the standard libjpeg scan script) fixture
+  encoders sharing one quantizer, so the same image encodes to the same
+  coefficients both ways and the two decodes are asserted BIT-IDENTICAL
+  — the differential oracle that needs no codec library in the
+  container.  Neither is a rate-optimized writer.
 
 Throughput: the entropy decode is per-symbol Python over a 16-bit peek
 table (one dict-free lookup per Huffman symbol); fine for the fixture
@@ -235,24 +241,14 @@ def _pad_edge(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return pp
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF bytes for a (h, w) gray or (h, w, 3) RGB uint8 array.
-
-    subsampling: "444" (none) or "420" (2x2 luma sampling, box-averaged
-    chroma — the common web layout).  Annex K tables at the given
-    quality.  Exists as the in-container fixture writer for the decoder;
-    deterministic."""
+def _prepare_planes(img: np.ndarray, subsampling: str):
+    """(gray, [Y(,Cb,Cr)] level-shifted planes, luma h=v factor): the RGB
+    -> YCbCr transform + optional 4:2:0 box-average shared by the baseline
+    and progressive encoders."""
     gray = img.ndim == 2
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
     h, width = img.shape[:2]
-    qlum = _quant_scaled(QUANT_LUM, quality)
-    qchrom = _quant_scaled(QUANT_CHROM, quality)
     if gray:
         planes = [img.astype(np.float64)]
     else:
@@ -275,6 +271,25 @@ def encode_jpeg(
             planes[ci] = (
                 p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
             ) / 4.0
+    return gray, planes, lum_hv
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes for a (h, w) gray or (h, w, 3) RGB uint8 array.
+
+    subsampling: "444" (none) or "420" (2x2 luma sampling, box-averaged
+    chroma — the common web layout).  Annex K tables at the given
+    quality.  Exists as the in-container fixture writer for the decoder;
+    deterministic."""
+    gray, planes, lum_hv = _prepare_planes(img, subsampling)
+    h, width = img.shape[:2]
+    qlum = _quant_scaled(QUANT_LUM, quality)
+    qchrom = _quant_scaled(QUANT_CHROM, quality)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -399,7 +414,9 @@ def _decode_block(
         zz[k] = _extend(r.receive(cat), cat)
         k += 1
     coeffs = np.zeros(64, dtype=np.float64)
-    coeffs[ZIGZAG] = zz * q
+    # zz is zigzag-ordered, q raster-ordered: the i-th zigzag coefficient
+    # dequantizes by q[ZIGZAG[i]] (T.81 F.2.1.4)
+    coeffs[ZIGZAG] = zz * q[ZIGZAG]
     block = _A.T @ coeffs.reshape(8, 8) @ _A
     return block, pred
 
@@ -413,6 +430,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    coefs = None  # progressive: per-component zigzag coefficient store
     restart_interval = 0
     n = len(payload)
     while pos + 1 < n:
@@ -457,7 +475,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nv])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(seg) < 6:
                 raise ValueError("corrupt JPEG: short SOF")
             prec, h, w_, nc = struct.unpack(">BHHB", seg[:6])
@@ -472,17 +490,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ValueError("corrupt JPEG: bad sampling factors")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"h": h, "w": w_, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w_, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) Huffman "
+                "JPEG are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
-            if not seg or len(seg) < 1 + 2 * seg[0]:
+            if not seg or len(seg) < 1 + 2 * seg[0] + 3:
                 raise ValueError("corrupt JPEG: short SOS")
             ns = seg[0]
             scan = []
@@ -490,12 +510,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 comp = next((c for c in frame["comps"] if c["id"] == cs), None)
                 td, ta = tdta >> 4, tdta & 0x0F
-                if comp is None or td not in huff_dc or ta not in huff_ac \
-                        or comp["tq"] not in qt:
+                if comp is None or comp["tq"] not in qt:
                     raise ValueError("corrupt JPEG: scan references missing "
                                      "component or table")
                 scan.append((comp, td, ta))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             try:
+                if frame.get("progressive"):
+                    if coefs is None:
+                        coefs = _alloc_coefs(frame)
+                    pos = _decode_progressive_scan(
+                        payload, pos, frame, scan, huff_dc, huff_ac,
+                        coefs, ss, se, ah, al, restart_interval,
+                    )
+                    continue
+                for comp, td, ta in scan:
+                    if td not in huff_dc or ta not in huff_ac:
+                        raise ValueError(
+                            "corrupt JPEG: scan references missing table"
+                        )
                 return _decode_scan(
                     payload, pos, frame, scan, qt, huff_dc, huff_ac,
                     restart_interval,
@@ -505,20 +539,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 # truncation surfaces as a clean decode error
                 raise ValueError(f"corrupt JPEG: entropy data exhausted ({e})")
         # APPn / COM / others: skipped
+    if coefs is not None:
+        return _reconstruct_progressive(frame, qt, coefs)
     raise ValueError("corrupt JPEG: no scan data")
 
 
-def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
-        for c, _, _ in scan
-    ]
-    # split entropy data at RST markers, unstuff each segment
+def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Unstuffed entropy segments (split at RST markers) + the position of
+    the marker that ended the scan."""
     segments = []
     cur = bytearray()
     i = pos
@@ -540,6 +568,20 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
         cur.append(b)
         i += 1
     segments.append(bytes(cur))
+    return segments, i
+
+
+def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c, _, _ in scan
+    ]
+    segments, _ = _split_entropy(payload, pos)
 
     total_mcus = mcux * mcuy
     seg_idx = 0
@@ -563,9 +605,14 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
 
-    # upsample to full resolution, crop, level-shift
+    return _assemble([c for c, _, _ in scan], planes, h, w, hmax, vmax)
+
+
+def _assemble(comps, planes, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample each component plane to full resolution, crop, level-shift,
+    and color-convert (shared by the baseline and progressive paths)."""
     full = []
-    for (comp, _, _), p in zip(scan, planes):
+    for comp, p in zip(comps, planes):
         if comp["h"] < hmax or comp["v"] < vmax:
             p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
         full.append(p[:h, :w] + 128.0)
@@ -577,3 +624,414 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (SOF2)
+# T.81 Annex G Huffman path: spectral selection + successive
+# approximation.  Scans accumulate quantized coefficients (zigzag order)
+# per component; dequantization + IDCT happen once, at EOI, so a
+# progressive file of the same quantized coefficients reconstructs
+# BIT-IDENTICALLY to its baseline twin — the differential oracle the
+# tests pin.
+
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_blocks(frame, comp):
+    """Non-interleaved block-grid dims (bh, bw) of one component
+    (T.81 A.1.1: component samples = ceil(dim * sampling / max))."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * comp["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _alloc_coefs(frame):
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan, huff_dc, huff_ac, coefs, ss, se, ah, al,
+    restart_interval,
+):
+    """One SOF2 scan into the coefficient store; returns the position of
+    the marker that ended the scan's entropy data."""
+    if not (0 <= ss <= se <= 63 and al <= 13):
+        raise ValueError("corrupt JPEG: bad spectral selection bounds")
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("corrupt JPEG: AC scans are single-component")
+    segments, endpos = _split_entropy(payload, pos)
+    _, _, mcux, mcuy = _frame_geometry(frame)
+
+    dc_tabs = []
+    ac_tab = None
+    if ss == 0 and ah == 0:
+        for _, td, _ in scan:
+            if td not in huff_dc:
+                raise ValueError("corrupt JPEG: scan references missing table")
+            dc_tabs.append(huff_dc[td])
+    if ss > 0:
+        ta = scan[0][2]
+        if ta not in huff_ac:
+            raise ValueError("corrupt JPEG: scan references missing table")
+        ac_tab = huff_ac[ta]
+
+    # unit list: (comp_id, by, bx) in scan order
+    units = []
+    if len(scan) > 1:  # interleaved DC scan: MCU order
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for comp, _, _ in scan:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        units.append(
+                            (comp["id"], my * comp["v"] + by, mx * comp["h"] + bx)
+                        )
+        per_seg_units = restart_interval * sum(
+            c["h"] * c["v"] for c, _, _ in scan
+        ) if restart_interval else 0
+    else:  # single component: its own block raster
+        comp = scan[0][0]
+        bh, bw = _comp_blocks(frame, comp)
+        for by in range(bh):
+            for bx in range(bw):
+                units.append((comp["id"], by, bx))
+        per_seg_units = restart_interval if restart_interval else 0
+
+    comp_index = {c["id"]: i for i, (c, _, _) in enumerate(scan)}
+    seg_idx = 0
+    r = _BitReader(segments[0])
+    preds = [0] * len(scan)
+    eobrun = 0
+    for ui, (cid, by, bx) in enumerate(units):
+        if per_seg_units and ui and ui % per_seg_units == 0 \
+                and seg_idx + 1 < len(segments):
+            seg_idx += 1
+            r = _BitReader(segments[seg_idx])
+            preds = [0] * len(scan)
+            eobrun = 0
+        block = coefs[cid][by, bx]
+        if ss == 0:
+            ci = comp_index[cid]
+            if ah == 0:  # DC first
+                p16 = r.peek16()
+                cat = int(dc_tabs[ci].sym[p16])
+                r.skip(int(dc_tabs[ci].len[p16]))
+                preds[ci] += _extend(r.receive(cat), cat)
+                block[0] = preds[ci] << al
+            else:  # DC refinement: one bit per block
+                if r.receive(1):
+                    block[0] |= 1 << al
+        elif ah == 0:
+            eobrun = _ac_first(r, ac_tab, block, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine(r, ac_tab, block, ss, se, al, eobrun)
+    return endpos
+
+
+def _ac_first(r, ac, block, ss, se, al, eobrun):
+    """T.81 G.1.2.2 first AC scan of a band: EOB runs + shifted values."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        p16 = r.peek16()
+        sym = int(ac.sym[p16])
+        r.skip(int(ac.len[p16]))
+        run, cat = sym >> 4, sym & 0x0F
+        if cat == 0:
+            if run < 15:  # EOBn: run-length of all-done blocks
+                return (1 << run) - 1 + (r.receive(run) if run else 0)
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index past band end")
+        block[k] = _extend(r.receive(cat), cat) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r, ac, block, ss, se, al, eobrun):
+    """T.81 G.1.2.3 AC refinement: one correction bit per already-nonzero
+    coefficient, new ±1<<Al significances coded as run/1 symbols."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            p16 = r.peek16()
+            sym = int(ac.sym[p16])
+            r.skip(int(ac.len[p16]))
+            run, cat = sym >> 4, sym & 0x0F
+            if cat == 0:
+                if run < 15:
+                    eobrun = (1 << run) + (r.receive(run) if run else 0)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            elif cat == 1:
+                val = p1 if r.receive(1) else m1
+            else:
+                raise ValueError("corrupt JPEG: bad refinement category")
+            while k <= se:
+                if block[k]:
+                    if r.receive(1) and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if cat and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k]:
+                if r.receive(1) and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, qt, coefs):
+    """Dequantize + IDCT every component's accumulated coefficients
+    (vectorized over all blocks), then assemble like the baseline path."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for comp in frame["comps"]:
+        if comp["tq"] not in qt:
+            raise ValueError("corrupt JPEG: missing quantization table")
+        q = qt[comp["tq"]]  # raster order
+        zz = coefs[comp["id"]]  # (bh, bw, 64) zigzag
+        bh, bw = zz.shape[:2]
+        raster = np.zeros((bh, bw, 64), dtype=np.float64)
+        raster[..., ZIGZAG] = zz
+        raster *= q
+        blocks = raster.reshape(bh, bw, 8, 8)
+        # IDCT: A.T @ X @ A per block — broadcast matmul keeps the exact
+        # float association of the baseline per-block expression, so a
+        # progressive file reconstructs bit-identically to its baseline twin
+        spatial = (_A.T @ blocks) @ _A
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane)
+    return _assemble(frame["comps"], planes, frame["h"], frame["w"], hmax, vmax)
+
+
+def _quantize_component(plane, q, bh, bw):
+    """(bh, bw, 64) zigzag-order quantized coefficients of a padded plane
+    — vectorized over all blocks, same np.round quantizer as the baseline
+    encoder so a progressive file carries IDENTICAL coefficients."""
+    p = _pad_edge(plane, bh * 8, bw * 8)
+    blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    # broadcast matmul keeps the float association of the baseline
+    # encoder's per-block `_A @ X @ _A.T`, so boundary values quantize
+    # identically in both encoders
+    coeffs = (_A @ blocks) @ _A.T
+    flat = coeffs.reshape(bh, bw, 64)
+    return np.round(flat[..., ZIGZAG] / q[ZIGZAG]).astype(np.int64)
+
+
+def _prog_units(comps, mcux, mcuy):
+    """(comp_pos, by, bx) block order of a progressive scan — MCU order
+    when interleaved, component-raster order for single-component scans
+    (mirrors the decoder's unit list exactly)."""
+    units = []
+    if len(comps) > 1:
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for i, c in enumerate(comps):
+                for by in range(c["hv"]):
+                    for bx in range(c["hv"]):
+                        units.append((i, my * c["hv"] + by, mx * c["hv"] + bx))
+    else:
+        for by in range(comps[0]["bh"]):
+            for bx in range(comps[0]["bw"]):
+                units.append((0, by, bx))
+    return units
+
+
+def _scan_dc_first(comps, mcux, mcuy, al):
+    w = _BitWriter()
+    preds = [0] * len(comps)
+    for i, by, bx in _prog_units(comps, mcux, mcuy):
+        c = comps[i]
+        dc = int(c["coef"][by, bx, 0]) >> al  # arithmetic point transform
+        cat, bits = _magnitude(dc - preds[i])
+        w.write(c["dc"].code[cat], c["dc"].size[cat])
+        if cat:
+            w.write(bits, cat)
+        preds[i] = dc
+    w.flush()
+    return bytes(w.out)
+
+
+def _scan_dc_refine(comps, mcux, mcuy, al):
+    w = _BitWriter()
+    for i, by, bx in _prog_units(comps, mcux, mcuy):
+        w.write((int(comps[i]["coef"][by, bx, 0]) >> al) & 1, 1)
+    w.flush()
+    return bytes(w.out)
+
+
+def _scan_ac_first(c, ss, se, al):
+    """First scan of an AC band: runs + EOB per block (EOB runs are kept
+    at length 1 because the Annex K tables carry no EOBn>0 symbols; the
+    decoder handles full EOBn for foreign files)."""
+    w = _BitWriter()
+    ac = c["ac"]
+    for _, by, bx in _prog_units([c], 0, 0):
+        band = c["coef"][by, bx]
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(band[k])
+            t = abs(v) >> al
+            if t == 0:
+                run += 1
+                continue
+            while run >= 16:
+                w.write(ac.code[0xF0], ac.size[0xF0])
+                run -= 16
+            sv = t if v > 0 else -t
+            cat, bits = _magnitude(sv)
+            sym = (run << 4) | cat
+            w.write(ac.code[sym], ac.size[sym])
+            w.write(bits, cat)
+            run = 0
+        if run > 0:
+            w.write(ac.code[0x00], ac.size[0x00])  # EOB
+    w.flush()
+    return bytes(w.out)
+
+
+def _scan_ac_refine(c, ss, se, al):
+    """Refinement scan of an AC band (T.81 G.1.2.3): new significances as
+    run/1 symbols + sign, one buffered correction bit per already-nonzero
+    coefficient, flushed after each symbol; trailing state folds into a
+    per-block EOB.  Control flow mirrors the public libjpeg encoder."""
+    w = _BitWriter()
+    ac = c["ac"]
+    for _, by, bx in _prog_units([c], 0, 0):
+        band = c["coef"][by, bx]
+        tvals = [abs(int(band[k])) >> al for k in range(ss, se + 1)]
+        eob_k = ss - 1
+        for off, t in enumerate(tvals):
+            if t == 1:
+                eob_k = ss + off
+        run = 0
+        br: list[int] = []
+        for off, t in enumerate(tvals):
+            k = ss + off
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob_k:
+                w.write(ac.code[0xF0], ac.size[0xF0])
+                run -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if t > 1:  # already significant: buffer the correction bit
+                br.append(t & 1)
+                continue
+            sym = (run << 4) | 1
+            w.write(ac.code[sym], ac.size[sym])
+            w.write(1 if int(band[k]) > 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            w.write(ac.code[0x00], ac.size[0x00])  # EOB
+            for b in br:
+                w.write(b, 1)
+    w.flush()
+    return bytes(w.out)
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Progressive (SOF2) JFIF bytes for a gray or RGB uint8 array, using
+    the standard spectral-selection + successive-approximation script
+    (DC Al=1 -> coarse AC bands -> AC refinements -> DC refinement), the
+    same Annex K tables and quantizer as ``encode_jpeg`` — so both
+    encodings decode to bit-identical pixels."""
+    gray, planes, lum_hv = _prepare_planes(img, subsampling)
+    h, width = img.shape[:2]
+    qlum = _quant_scaled(QUANT_LUM, quality)
+    qchrom = _quant_scaled(QUANT_CHROM, quality)
+    ncomp = 1 if gray else 3
+    hmax = lum_hv
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * hmax - 1) // (8 * hmax)
+    dc_l, ac_l = _HuffCodes(DC_LUM_BITS, DC_LUM_VALS), _HuffCodes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c, ac_c = _HuffCodes(DC_CHROM_BITS, DC_CHROM_VALS), _HuffCodes(AC_CHROM_BITS, AC_CHROM_VALS)
+    comps = []
+    for ci in range(ncomp):
+        chv = lum_hv if ci == 0 else 1
+        cw = (width * chv + hmax - 1) // hmax
+        chh = (h * chv + hmax - 1) // hmax
+        comps.append({
+            "cid": ci + 1, "hv": chv,
+            "coef": _quantize_component(
+                planes[ci], qlum if ci == 0 else qchrom, mcuy * chv, mcux * chv
+            ),
+            "bh": (chh + 7) // 8, "bw": (cw + 7) // 8,
+            "dc": dc_l if ci == 0 else dc_c,
+            "ac": ac_l if ci == 0 else ac_c,
+        })
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, qlum),) + (() if gray else ((1, qchrom),)):
+        zz = q[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = struct.pack(">BHHB", 8, h, width, ncomp)
+    for c in comps:
+        sof += bytes([c["cid"], (c["hv"] << 4) | c["hv"], 0 if c["cid"] == 1 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht_segment(0x10, AC_LUM_BITS, AC_LUM_VALS)
+    if not gray:
+        out += _dht_segment(0x01, DC_CHROM_BITS, DC_CHROM_VALS)
+        out += _dht_segment(0x11, AC_CHROM_BITS, AC_CHROM_VALS)
+
+    def sos(scan_comps, ss, se, ah, al, data):
+        hdr = bytes([len(scan_comps)])
+        for c in scan_comps:
+            td = 0 if c["cid"] == 1 else 1
+            ta = 0 if c["cid"] == 1 else 1
+            hdr += bytes([c["cid"], (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(hdr) + 2) + hdr + data
+
+    y = comps[0]
+    out += sos(comps, 0, 0, 0, 1, _scan_dc_first(comps, mcux, mcuy, 1))
+    out += sos([y], 1, 5, 0, 2, _scan_ac_first(y, 1, 5, 2))
+    if not gray:
+        cb, cr = comps[1], comps[2]
+        out += sos([cb], 1, 63, 0, 1, _scan_ac_first(cb, 1, 63, 1))
+        out += sos([cr], 1, 63, 0, 1, _scan_ac_first(cr, 1, 63, 1))
+    out += sos([y], 6, 63, 0, 2, _scan_ac_first(y, 6, 63, 2))
+    out += sos([y], 1, 63, 2, 1, _scan_ac_refine(y, 1, 63, 1))
+    out += sos(comps, 0, 0, 1, 0, _scan_dc_refine(comps, mcux, mcuy, 0))
+    if not gray:
+        out += sos([cb], 1, 63, 1, 0, _scan_ac_refine(cb, 1, 63, 0))
+        out += sos([cr], 1, 63, 1, 0, _scan_ac_refine(cr, 1, 63, 0))
+    out += sos([y], 1, 63, 1, 0, _scan_ac_refine(y, 1, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)

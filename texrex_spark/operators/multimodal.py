@@ -11,17 +11,20 @@ Decode support is tiered by what the container allows:
 - **Real decoders** (pure numpy/stdlib, no external libs): binary PGM (P5)
   and PPM (P6), uncompressed 24-bit BMP, 8-bit PNG (stdlib ``zlib`` +
   all five scanline filters), baseline JPEG incl. 4:2:0 and restart
-  markers (operators/jpeg.py), and 8/16-bit PCM WAV (stdlib ``wave``).
+  markers, plus progressive JPEG — SOF2 spectral selection + successive
+  approximation, decoding bit-identically to the baseline twin
+  (operators/jpeg.py) — and 8/16-bit PCM WAV (stdlib ``wave``).
   These are genuine byte-level codecs with encode round-trips, so the
   decode -> feature -> resize -> re-encode pipeline is real end to end,
   including the two most common compressed web image formats.  Video:
   MJPEG-in-MP4 — a full ISO BMFF box/sample-table parser + writer
   (operators/mp4.py) over the baseline JPEG codec — and concatenated-PPM
   streams, both driving the ``sample_frames`` frame-sampling stage.
-- **Stub** for the remaining compressed tier (progressive JPEG and
-  inter-frame video codecs like H.264 need PIL/av, absent here):
-  ``decode`` raises ``NotImplementedError`` for their mimes, and the
-  deterministic ``image/fake`` payload keeps distribution tests hermetic.
+- **Stub** for the remaining compressed tier (arithmetic-coded/lossless
+  JPEG and inter-frame video codecs like H.264 need PIL/av, absent
+  here): ``decode`` raises ``NotImplementedError`` for their mimes, and
+  the deterministic ``image/fake`` payload keeps distribution tests
+  hermetic.
 
 All kernels run per Arrow batch inside ``mapInPandas``; swapping in PIL/av
 for the compressed tier replaces one dispatcher branch.
@@ -464,7 +467,13 @@ def synth_real_media_row(ref: str) -> dict:
             0, 255,
         ).astype(np.uint8)
         sub = "420" if seed[9] % 2 else "444"
-        payload, mime = encode_jpeg(img, quality=90, subsampling=sub), "image/jpeg"
+        if seed[10] % 2:  # progressive (SOF2): decodes identically to baseline
+            from .jpeg import encode_progressive_jpeg
+
+            payload = encode_progressive_jpeg(img, quality=90, subsampling=sub)
+        else:
+            payload = encode_jpeg(img, quality=90, subsampling=sub)
+        mime = "image/jpeg"
     return {
         "media_ref": ref, "kind": "image", "payload": payload,
         "meta": {"width": w, "height": h, "duration_ms": 0, "mime": mime},

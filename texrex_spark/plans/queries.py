@@ -2359,12 +2359,12 @@ def q_media_decode(spark, sf_dir):
     PPM, uncompressed 24-bit BMP, and PCM WAV payloads synthesized by the
     matching encoders, decoded and featured through the distributed
     mapInPandas path, vs the local-kernel snapshot — plus the two
-    pure-stdlib compressed codecs (PNG, operators/multimodal.py; baseline
-    JPEG incl. 4:2:0, operators/jpeg.py) and MJPEG-in-MP4 video (full
-    ISO BMFF sample-table parse + every-2nd-frame decode,
-    operators/mp4.py).  Images report (width, height, mean luma); audio
-    (n_samples, channels, RMS); video (n_frames, width, mean sampled
-    luma).  Progressive JPEG and inter-frame video codecs stay
+    pure-stdlib compressed codecs (PNG, operators/multimodal.py; JPEG —
+    baseline incl. 4:2:0 AND progressive SOF2, operators/jpeg.py) and
+    MJPEG-in-MP4 video (full ISO BMFF sample-table parse +
+    every-2nd-frame decode, operators/mp4.py).  Images report (width,
+    height, mean luma); audio (n_samples, channels, RMS); video
+    (n_frames, width, mean sampled luma).  Inter-frame video codecs stay
     NotImplementedError — their libraries are not in this container."""
     from ..operators.multimodal import (
         extract_audio_features, extract_features, extract_video_features,
