@@ -228,12 +228,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     off, idat, ihdr = 8, [], None
     while off + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, off)
+        if off + 12 + ln > len(payload):
+            raise ValueError(f"truncated {typ!r} chunk")
         data = payload[off + 8 : off + 8 + ln]
         crc = struct.unpack_from(">I", payload, off + 8 + ln)[0]
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {typ!r} chunk")
         if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("short IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -302,10 +306,23 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """(samples (n, channels) int16, sample_rate) from 8/16-bit PCM WAV."""
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        nch, width, rate, n = f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes()
-        raw = f.readframes(n)
+    """(samples (n, channels) int16, sample_rate) from 8/16-bit PCM WAV.
+
+    Untrusted input: stdlib ``wave`` raises wave.Error/EOFError on
+    malformed RIFF structure — normalized to ValueError here so every
+    codec in the tier shares one failure contract."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            nch, width, rate, n = (
+                f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes()
+            )
+            raw = f.readframes(n)
+    except (wave.Error, EOFError, struct.error, RuntimeError) as e:
+        # RuntimeError: stdlib chunk.py raises it for unreadable sizes
+        raise ValueError(f"corrupt WAV: {e}")
+    if nch < 1 or rate < 1:
+        raise ValueError("corrupt WAV: zero channels or rate")
+    raw = raw[: len(raw) - len(raw) % (width * nch)] if width * nch else raw
     if width == 2:
         s = np.frombuffer(raw, "<i2")
     elif width == 1:  # 8-bit WAV is unsigned
