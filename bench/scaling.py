@@ -239,7 +239,7 @@ def main() -> None:
         idx = min(found) if found else -1
         if idx >= 0:
             history = old[idx:]
-            label = os.environ.get("SCALING_LABEL", "round 2, auto window")
+            label = os.environ.get("SCALING_LABEL", "unlabeled window (set SCALING_LABEL)")
             new_row = (
                 f"| {label} | {N_URLS // 1_000_000}M | {RUNS}, min "
                 f"| {summary['speedup_4x_cores']}x | {eff} "
