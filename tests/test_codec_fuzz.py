@@ -61,7 +61,13 @@ def test_byte_flips_fail_cleanly(name):
 @pytest.mark.parametrize("name", list(_payloads()))
 def test_truncations_fail_cleanly(name):
     payload, decode = _payloads()[name]
-    for cut in range(0, len(payload), max(len(payload) // 40, 1)):
+    # dense small cuts (header-parse window: magic + fixed-offset fields
+    # live in the first ~64 bytes, where struct.unpack_from would throw)
+    # plus a coarse stride over the body
+    cuts = set(range(0, min(64, len(payload)))) | set(
+        range(0, len(payload), max(len(payload) // 40, 1))
+    )
+    for cut in sorted(cuts):
         try:
             decode(payload[:cut])
         except OK:

@@ -478,3 +478,72 @@ def test_jpeg_mutation_fuzz_fails_cleanly():
             assert isinstance(out, np.ndarray)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_gray_alpha_png_through_dispatcher():
+    """PNG color type 4 (gray+alpha) must reach the feature kernels as
+    the gray channel — the luma path used to index channel 2 of a
+    2-channel array (round-4 review finding)."""
+    ga = np.zeros((6, 9, 2), np.uint8)
+    ga[..., 0] = np.arange(9, dtype=np.uint8) * 7
+    ga[..., 1] = 200
+    out = mm.decode(mm.encode_png(ga), {"mime": "image/png"})
+    assert out.shape == (6, 9)
+    assert np.array_equal(out, ga[..., 0])
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    they must not derail the segment walk (before SOS) or the entropy
+    splitter (at scan end)."""
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(_smooth_rgb(16, 16), quality=90)
+    at_sos = good.find(b"\xff\xda")
+    padded = good[:at_sos] + b"\xff\xff" + good[at_sos:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(good))
+
+
+def test_jpeg_multiscan_baseline_is_explicit():
+    """A baseline SOS covering fewer components than the frame declares
+    is spec-legal non-interleaved multi-scan — unsupported, and it must
+    say so rather than silently decode the first scan as the image."""
+    from texrex_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(_smooth_rgb(16, 16), quality=90))
+    at_sos = good.find(b"\xff\xda")
+    # rewrite the SOS header: Ns=3 -> Ns=1 (keep only the Y component);
+    # new header is 2 (len) + 1 (ns) + 2 (comp spec) + 3 (ss/se/ah) = 8
+    old_len = (good[at_sos + 2] << 8) | good[at_sos + 3]
+    comp0 = bytes(good[at_sos + 5 : at_sos + 7])
+    tail = bytes(good[at_sos + 2 + old_len - 3 : at_sos + 2 + old_len])
+    new_seg = b"\x00\x08\x01" + comp0 + tail
+    good[at_sos + 2 : at_sos + 2 + old_len] = new_seg
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(good))
+
+
+def test_jpeg_encoder_accumulator_bounded():
+    """The bit-writer must shed emitted bits: an unbounded accumulator
+    turns encoding quadratic in image size (round-4 review finding)."""
+    from texrex_spark.operators.jpeg import _BitWriter
+
+    w = _BitWriter()
+    for i in range(50_000):
+        w.write(i & 0x3FF, 10)
+    assert w.acc.bit_length() <= 8
+
+
+def test_video_feature_row_rejects_empty_track():
+    """A parseable moov with zero samples must raise, not emit a nan
+    mean_intensity row."""
+    from texrex_spark.operators.mp4 import encode_mjpeg_mp4
+
+    frames = [np.full((8, 8, 3), 50, np.uint8)]
+    payload = bytearray(encode_mjpeg_mp4(frames, fps=5))
+    # zero out the stsz sample count (entry count field after the header)
+    at = payload.find(b"stsz")
+    assert at > 0
+    payload[at + 12 : at + 16] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="no samples"):
+        mm.video_feature_row("r", bytes(payload))

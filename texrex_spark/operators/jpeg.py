@@ -171,6 +171,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # drop the emitted high bits — without this the accumulator grows
+        # into a multi-megabit bignum and encoding turns quadratic
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -436,6 +439,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 1 < n:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: 0xFF fill bytes before a marker
+        if pos + 1 >= n:
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -498,6 +505,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "JPEG are supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("corrupt JPEG: short DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -530,6 +539,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         raise ValueError(
                             "corrupt JPEG: scan references missing table"
                         )
+                if len(scan) < len(frame["comps"]):
+                    # spec-legal but rare: per-component scans in baseline
+                    # mode use component raster order, not the interleaved
+                    # MCU walk below — decoding the first scan as if it
+                    # covered the frame would return scrambled data
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) baseline JPEG is "
+                        "not supported"
+                    )
                 return _decode_scan(
                     payload, pos, frame, scan, qt, huff_dc, huff_ac,
                     restart_interval,
@@ -573,6 +591,12 @@ def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     h, w = frame["h"], frame["w"]
+    if len(scan) == 1:
+        # T.81 A.2.2: a non-interleaved (single-component) scan walks the
+        # component's data units in plain raster order — sampling factors
+        # do not group blocks into MCUs
+        c0, td0, ta0 = scan[0]
+        scan = [(dict(c0, h=1, v=1), td0, ta0)]
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

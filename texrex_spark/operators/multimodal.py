@@ -164,6 +164,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     """(h, w, 3) uint8 RGB from an uncompressed 24-bit BMP."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 34:  # 14-byte file header + first 20 info-header bytes
+        raise ValueError("truncated BMP header")
     off = struct.unpack_from("<I", payload, 10)[0]
     hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
     if bpp != 24 or comp != 0:
@@ -171,6 +173,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     flip = h > 0  # negative height = top-down
     h = abs(h)
     stride = (w * 3 + 3) & ~3
+    if w <= 0 or h == 0 or off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
     img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     return img[::-1] if flip else img
@@ -254,7 +258,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if ch is None:
         raise ValueError(f"unsupported color type {color} (palette needs PLTE)")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # a corrupt-but-CRC-consistent IDAT stream (the CRC only covers
+        # the chunk bytes as stored, not their deflate validity)
+        raise ValueError(f"corrupt PNG: bad IDAT stream ({e})")
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("inflated size mismatch")
@@ -344,13 +353,11 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
         rgb = decode_ppm(payload) if mime.endswith("pixmap") else decode_bmp(payload)
         return _luma(rgb)
     if mime == "image/png":
-        img = decode_png(payload)
-        return img if img.ndim == 2 else _luma(img[..., :3])
+        return _to_luma(decode_png(payload))
     if mime == "image/jpeg":
         from .jpeg import decode_jpeg
 
-        img = decode_jpeg(payload)
-        return img if img.ndim == 2 else _luma(img)
+        return _to_luma(decode_jpeg(payload))
     if mime == "image/fake":
         return decode_stub(payload, meta)
     raise NotImplementedError(
@@ -362,6 +369,17 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
     return (
         0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     ).astype(np.uint8)
+
+
+def _to_luma(img: np.ndarray) -> np.ndarray:
+    """Any decoded shape -> (h, w) luma: gray passes through, gray+alpha
+    (PNG color type 4) keeps the gray channel, RGB/RGBA take ITU-R 601
+    luma over the first three channels."""
+    if img.ndim == 2:
+        return img
+    if img.shape[2] == 2:
+        return img[..., 0]
+    return _luma(img[..., :3])
 
 
 FEATURE_SCHEMA = (
@@ -565,7 +583,12 @@ def video_feature_row(ref: str, payload: bytes) -> dict:
 
     track = video_track(bytes(payload))
     sampled = decode_mjpeg_frames(bytes(payload), every_k=2)
-    lumas = [_luma(a) for _, _, a in sampled]
+    if not sampled:
+        # a structurally valid moov with an empty sample table is not a
+        # decodable clip; fail like the rest of the tier, not with a
+        # nan mean over an empty list
+        raise ValueError(f"MP4 video track has no samples in {ref!r}")
+    lumas = [_to_luma(a) for _, _, a in sampled]
     return {
         "media_ref": ref,
         "codec": track["codec"],
