@@ -15,6 +15,11 @@ from texrex_spark.operators.jpeg import (
     encode_jpeg,
     encode_progressive_jpeg,
 )
+from texrex_spark.operators.gif import (
+    decode_gif,
+    encode_gif,
+    encode_gif_frames,
+)
 from texrex_spark.operators.mp4 import encode_mjpeg_mp4, parse_mp4
 
 OK = (ValueError, NotImplementedError)
@@ -40,6 +45,8 @@ def _payloads():
         "wav": (mm.encode_wav(samples, 8000), mm.decode_wav),
         "mp4": (encode_mjpeg_mp4(frames, fps=10), parse_mp4),
         "pnm-stream": (mm.encode_pnm_stream(frames), mm.decode_pnm_stream),
+        "gif": (encode_gif(img), decode_gif),
+        "gif-anim": (encode_gif_frames(frames, delay_cs=4), decode_gif),
     }
 
 

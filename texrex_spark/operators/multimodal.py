@@ -13,10 +13,12 @@ Decode support is tiered by what the container allows:
   all five scanline filters), baseline JPEG incl. 4:2:0 and restart
   markers, plus progressive JPEG — SOF2 spectral selection + successive
   approximation, decoding bit-identically to the baseline twin
-  (operators/jpeg.py) — and 8/16-bit PCM WAV (stdlib ``wave``).
-  These are genuine byte-level codecs with encode round-trips, so the
-  decode -> feature -> resize -> re-encode pipeline is real end to end,
-  including the two most common compressed web image formats.  Video:
+  (operators/jpeg.py) — GIF87a/89a with LZW, interlacing, and animation
+  compositing (operators/gif.py), and 8/16-bit PCM WAV (stdlib
+  ``wave``).  These are genuine byte-level codecs with encode
+  round-trips, so the decode -> feature -> resize -> re-encode pipeline
+  is real end to end, covering the three most common compressed web
+  image formats.  Video:
   MJPEG-in-MP4 — a full ISO BMFF box/sample-table parser + writer
   (operators/mp4.py) over the baseline JPEG codec — and concatenated-PPM
   streams, both driving the ``sample_frames`` frame-sampling stage.
@@ -358,6 +360,10 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return _to_luma(decode_jpeg(payload))
+    if mime == "image/gif":
+        from .gif import decode_gif
+
+        return _to_luma(decode_gif(payload))
     if mime == "image/fake":
         return decode_stub(payload, meta)
     raise NotImplementedError(
@@ -476,8 +482,19 @@ def synth_real_media_row(ref: str) -> dict:
         }
     w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
     if pick == 0:
-        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
-        payload, mime = encode_pgm(img), "image/x-portable-graymap"
+        if seed[9] % 2 == 0:
+            # GIF sub-pick: limited palette (LZW-friendly), 1-3 frames so
+            # the animation compositor is on the fixture path too
+            from .gif import encode_gif_frames
+
+            base = rng.integers(0, 8, (h, w, 3), dtype=np.uint8) * 36
+            n_frames = int(rng.integers(1, 4))
+            frames = [np.roll(base, 2 * i, axis=1) for i in range(n_frames)]
+            payload = encode_gif_frames(frames, delay_cs=6)
+            mime = "image/gif"
+        else:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            payload, mime = encode_pgm(img), "image/x-portable-graymap"
     elif pick == 1:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = encode_ppm(img), "image/x-portable-pixmap"
@@ -637,6 +654,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     from .jpeg import decode_jpeg, encode_jpeg
 
                     img, enc = decode_jpeg(payload), encode_jpeg
+                elif mime == "image/gif":
+                    from .gif import decode_gif, encode_gif
+
+                    img, enc = decode_gif(payload), encode_gif
                 else:
                     continue  # audio / video: passed through elsewhere
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)

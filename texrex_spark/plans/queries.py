@@ -2316,8 +2316,8 @@ def _real_media_rows():
     from ..operators.multimodal import video_feature_row
 
     rows = []
-    # prefix "m/": md5-hash picks over m/0..m/15 hit ALL SEVEN codec
-    # branches (PGM, PPM, BMP, PNG, JPEG, WAV, MJPEG-MP4) — asserted
+    # prefix "m/": md5-hash picks over m/0..m/15 hit ALL EIGHT codec
+    # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WAV, MJPEG-MP4) — asserted
     # below so a synth change can't silently drop a format from the oracle
     for k in range(16):
         m = synth_real_media_row(f"m/{k}")
@@ -2337,7 +2337,8 @@ def _real_media_rows():
                          round(f["mean_intensity"], 4)))
     assert {r[2] for r in rows} == {
         "image/x-portable-graymap", "image/x-portable-pixmap",
-        "image/bmp", "image/png", "image/jpeg", "audio/wav", "video/mp4",
+        "image/bmp", "image/png", "image/jpeg", "image/gif",
+        "audio/wav", "video/mp4",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
