@@ -102,6 +102,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/bmp",
         "image/png",
         "image/jpeg",
+        "image/gif",
         "audio/wav",
         "video/mp4",
     }
