@@ -117,7 +117,12 @@ def run_config(cores: int) -> dict:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
-    one_run()  # JVM/Python-worker warmup, discarded
+    # Full-size warmup run, discarded (JVM codegen + Python-worker-pool
+    # spin-up).  For the giant data-scaling points (>=256M URLs, ~12+ min
+    # per run) that spin-up is <1% of a run — SCALING_WARMUP=0 skips the
+    # discard there instead of burning a full extra run on it.
+    if os.environ.get("SCALING_WARMUP", "1") != "0":
+        one_run()
     times = []
     loads = []
     loads_before = []
