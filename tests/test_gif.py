@@ -128,9 +128,108 @@ def test_transparency_composites_over_previous_frame():
     assert tuple(last[2, 4]) == (200, 0, 0)
 
 
+def _patch_block(x, y, patch, rgb0, rgb1, disposal, transparent=None):
+    """One GCE + image-descriptor block: 2-entry local table [rgb0, rgb1],
+    2-bit LZW over ``patch`` (uint8 indices), placed at (x, y)."""
+    gflags = (disposal & 0x07) << 2
+    t_idx = 0
+    if transparent is not None:
+        gflags |= 0x01
+        t_idx = transparent
+    out = bytearray()
+    out += b"\x21\xf9\x04" + struct.pack("<BHB", gflags, 5, t_idx) + b"\x00"
+    out += struct.pack("<BHHHHB", 0x2C, x, y, patch.shape[1], patch.shape[0], 0x80)
+    out += bytes(rgb0) + bytes(rgb1)
+    out.append(2)
+    lzw = G._lzw_encode(patch.reshape(-1), 2)
+    out.append(len(lzw))
+    out += lzw
+    out.append(0)
+    return out
+
+
+def _screen_header(w, h, bg_rgb):
+    """GIF89a header with a 2-entry global table [bg_rgb, white], bg=0."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x00, 0, 0)  # GCT, 2 entries
+    out += bytes(bg_rgb) + bytes((255, 255, 255))
+    return out
+
+
 def test_disposal_restore_background():
-    g = parse_gif(encode_gif_frames([_limited(8, 8)] * 2, delay_cs=1))
-    assert len(g["frames"]) == 2  # structural sanity for the disposal path
+    """Disposal 2: after a frame is composited, its rect reverts to the
+    background color before the next frame draws."""
+    red, green, bg = (200, 0, 0), (0, 200, 0), (0, 0, 99)
+    p = _screen_header(6, 6, bg)
+    # frame 1: full-screen red, disposal 2
+    p += _patch_block(0, 0, np.zeros((6, 6), np.uint8), red, green, disposal=2)
+    # frame 2: 2x2 green patch at (1,1), disposal 0
+    p += _patch_block(1, 1, np.ones((2, 2), np.uint8), red, green, disposal=0)
+    p.append(0x3B)
+    frames = decode_gif_frames(bytes(p))
+    assert len(frames) == 2
+    f1, f2 = frames[0][2], frames[1][2]
+    assert tuple(f1[0, 0]) == red and tuple(f1[5, 5]) == red
+    # frame 1's rect (the whole screen) restored to background, then the
+    # 2x2 patch drew green
+    assert tuple(f2[1, 1]) == green and tuple(f2[2, 2]) == green
+    assert tuple(f2[0, 0]) == bg and tuple(f2[5, 5]) == bg
+
+
+def test_disposal_restore_previous():
+    """Disposal 3: after the frame is composited, the canvas reverts to
+    its pre-frame state — frame 3 must not see frame 2's pixels."""
+    red, green, bg = (200, 0, 0), (0, 200, 0), (0, 0, 99)
+    p = _screen_header(6, 6, bg)
+    # frame 1: full-screen red, left in place
+    p += _patch_block(0, 0, np.zeros((6, 6), np.uint8), red, green, disposal=0)
+    # frame 2: green patch at (0,0), disposal 3 (restore previous)
+    p += _patch_block(0, 0, np.ones((2, 2), np.uint8), red, green, disposal=3)
+    # frame 3: green patch at (4,4)
+    p += _patch_block(4, 4, np.ones((2, 2), np.uint8), red, green, disposal=0)
+    p.append(0x3B)
+    frames = decode_gif_frames(bytes(p))
+    assert len(frames) == 3
+    f2, f3 = frames[1][2], frames[2][2]
+    assert tuple(f2[0, 0]) == green  # frame 2 shows its own patch
+    # frame 3: frame 2's patch is gone (restored to red), new patch shows
+    assert tuple(f3[0, 0]) == red
+    assert tuple(f3[4, 4]) == green
+
+
+def test_decode_gif_stops_after_first_frame():
+    """decode_gif must not parse or LZW-decode the animation tail: a GIF
+    whose second frame is garbage still yields frame 1 under max_frames=1
+    (proving the tail is never touched)."""
+    red, green, bg = (200, 0, 0), (0, 200, 0), (0, 0, 99)
+    p = _screen_header(4, 4, bg)
+    p += _patch_block(0, 0, np.zeros((4, 4), np.uint8), red, green, disposal=0)
+    p += b"\xaa\xbb\xcc"  # invalid block type where frame 2 would start
+    with pytest.raises(GifError):  # full parse must reject the garbage
+        parse_gif(bytes(p))
+    g = parse_gif(bytes(p), max_frames=1)
+    assert len(g["frames"]) == 1
+    assert np.array_equal(
+        decode_gif_frames(bytes(p), max_frames=1)[0][2][0, 0], np.array(red)
+    )
+
+
+def test_pixel_cap_rejects_decompression_bomb():
+    """A complete few-KB GIF claiming huge dimensions must fail fast (no
+    multi-GB allocation) on both the screen and the LZW fail-fast path."""
+    # screen-level cap
+    p = bytearray(b"GIF89a") + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+    with pytest.raises(GifError, match="pixel cap"):
+        parse_gif(bytes(p))
+    # LZW fail-fast: legitimate small screen, stream far too short
+    with pytest.raises(GifError, match="too short"):
+        G._lzw_decode(b"\x00\x01", 2, 10_000_000)
+
+
+def test_encode_rejects_oversized_frame():
+    big = np.zeros((1, 70000, 3), np.uint8)
+    with pytest.raises(ValueError, match="too large"):
+        encode_gif(big)
 
 
 @pytest.mark.parametrize(
@@ -143,9 +242,11 @@ def test_disposal_restore_background():
     ],
 )
 def test_malformed_raises_gif_error(mutate):
+    # full decode (no max_frames early-stop, which legitimately never
+    # reaches a missing trailer on a complete first frame)
     payload = encode_gif(_limited(12, 12))
     with pytest.raises(ValueError):
-        decode_gif(mutate(payload))
+        decode_gif_frames(mutate(payload))
 
 
 def test_dispatcher_first_frame_luma():

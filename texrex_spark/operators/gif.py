@@ -33,12 +33,27 @@ class GifError(ValueError):
 _GIF87 = b"GIF87a"
 _GIF89 = b"GIF89a"
 
+# Untrusted-payload posture: a GIF header may claim up to 65535x65535
+# (~4.3 G pixels) and LZW's quadratic amplification lets a few-MB
+# payload legitimately fill it — a memory-DoS, not a parse error.  Cap
+# the decoded pixel count per frame (and the logical screen) well above
+# any real web image but far below the bomb range.  64 MP RGB is
+# ~192 MB per frame.
+MAX_PIXELS = 64_000_000
+
 
 # ---------------------------------------------------------------- LZW
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """GIF variable-width LZW -> uint8 index array of length n_pixels."""
     if not (2 <= min_code_size <= 8):
         raise GifError(f"bad LZW minimum code size {min_code_size}")
+    # Fail fast BEFORE the output allocation: k codes of >= (mcs+1) bits
+    # can emit at most k(k+1)/2 pixels (table entries grow by one byte
+    # per code), so a stream too short to ever fill n_pixels is rejected
+    # without touching memory proportional to the claimed dimensions.
+    max_codes = (len(data) * 8) // (min_code_size + 1)
+    if n_pixels > max_codes * (max_codes + 1) // 2:
+        raise GifError("LZW stream too short for claimed image size")
     clear = 1 << min_code_size
     eoi = clear + 1
     # bit reader over the whole sub-block-joined stream, LSB first
@@ -175,12 +190,16 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
-def parse_gif(payload: bytes) -> dict:
+def parse_gif(payload: bytes, max_frames: int | None = None) -> dict:
     """Structural parse: screen descriptor + per-frame raw indices.
 
     Returns {"width", "height", "background_rgb", "frames": [{"x", "y",
     "w", "h", "indices", "palette", "transparent", "delay_cs",
     "disposal"}, ...], "loop": bool}.
+
+    ``max_frames`` stops both parsing AND LZW decoding after that many
+    frames — single-frame consumers (decode_gif) don't pay for decoding
+    a long animation's tail.
     """
     if payload[:6] not in (_GIF87, _GIF89):
         raise GifError("not a GIF (bad signature)")
@@ -189,6 +208,8 @@ def parse_gif(payload: bytes) -> dict:
     w, h, flags, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     if w == 0 or h == 0:
         raise GifError("zero-sized GIF screen")
+    if w * h > MAX_PIXELS:
+        raise GifError("GIF logical screen exceeds decoder pixel cap")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -239,6 +260,8 @@ def parse_gif(payload: bytes) -> dict:
         pos += 9
         if iw == 0 or ih == 0 or ix + iw > w or iy + ih > h:
             raise GifError("image descriptor outside the logical screen")
+        if iw * ih > MAX_PIXELS:
+            raise GifError("GIF frame exceeds decoder pixel cap")
         palette = gct
         if iflags & 0x80:  # local color table
             n = 2 << (iflags & 0x07)
@@ -271,6 +294,8 @@ def parse_gif(payload: bytes) -> dict:
         transparent = None
         delay_cs = 0
         disposal = 0
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     if not frames:
         raise GifError("GIF has no image data")
     return {
@@ -279,12 +304,17 @@ def parse_gif(payload: bytes) -> dict:
     }
 
 
-def decode_gif_frames(payload: bytes, every_k: int = 1) -> list:
+def decode_gif_frames(
+    payload: bytes, every_k: int = 1, max_frames: int | None = None
+) -> list:
     """Composited RGB frames [(frame_no, delay_cs, (h, w, 3) uint8), ...]
     taking every k-th frame — the animation twin of mp4.decode_mjpeg_frames.
     Disposal methods: 0/1 leave the canvas, 2 restores the frame rect to
-    the background color, 3 restores the previous canvas."""
-    g = parse_gif(payload)
+    the background color, 3 restores the previous canvas.  ``max_frames``
+    bounds the number of frames DECODED (not just returned) — compositing
+    frame i never needs frames past i, so callers wanting only the first
+    frame skip the animation tail entirely."""
+    g = parse_gif(payload, max_frames=max_frames)
     h, w = g["height"], g["width"]
     canvas = np.empty((h, w, 3), np.uint8)
     canvas[:] = g["background_rgb"]
@@ -308,8 +338,9 @@ def decode_gif_frames(payload: bytes, every_k: int = 1) -> list:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """First composited frame as (h, w, 3) uint8 RGB."""
-    return decode_gif_frames(payload, every_k=len(payload) + 1)[0][2]
+    """First composited frame as (h, w, 3) uint8 RGB — only frame 0 is
+    LZW-decoded, however long the animation."""
+    return decode_gif_frames(payload, max_frames=1)[0][2]
 
 
 # ---------------------------------------------------------------- encode
@@ -359,6 +390,8 @@ def encode_gif_frames(
     if not frames:
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
+    if w > 65535 or h > 65535:
+        raise ValueError("frame too large for GIF")
     out = bytearray(_GIF89)
     out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global table
     if loop and len(frames) > 1:
