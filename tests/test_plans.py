@@ -61,6 +61,16 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
     assert "Join" not in engine_plan.replace("MapInPandas", "")
 
 
+def test_embedding_neardup_lsh_no_cross_join(spark, sf_dir):
+    """q_embedding_neardup routes through the sign-LSH pruning path
+    (similarity.lsh_neardup): candidates come from equi-joined
+    (band, signature) buckets — the plan must contain no all-pairs
+    product of any kind (VERDICT r04 #3)."""
+    plan = _plan(QUERIES["q_embedding_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_clean_chain_single_python_stage(spark, sf_dir):
     plan = _plan(QUERIES["q_clean_chain"](spark, sf_dir))
     # exactly one Python boundary (the chain mapInPandas), not a chain of them

@@ -883,11 +883,20 @@ def q_ann_topk(spark, sf_dir):
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection (the exact kernel the LSH
-    path prunes candidates for).  The fixture plants a +0.02-shifted twin
-    of every base vector (cos ~ 0.988 vs a 0.41 max among non-twins), so
-    the oracle's expected set is 100 NON-EMPTY pairs — a 0-rows-vs-0-rows
-    pass here would certify nothing."""
+    """Embedding-cosine near-duplicate detection through the banded
+    sign-LSH pruning path (similarity.lsh_neardup) — candidate pairs come
+    from (band, signature) bucket joins, never an all-pairs product, then
+    exact cosine re-ranks.  This IS the plan a 100 TB run uses.
+
+    The fixture plants a +0.02-shifted twin of every base vector
+    (cos ~ 0.988 vs a 0.41 max among non-twins), and the oracle is the
+    EXACT all-pairs SQL — so the row only matches if LSH recall on the
+    planted twins is 1.0 (precision is 1.0 by construction: the re-rank
+    is exact).  At 16 bands x 6 bits a cos-0.988 pair misses all bands
+    with p ~ 5e-10; with the pinned seed the outcome is deterministic.
+    test_plans pins the no-crossJoin shape of this row."""
+    from ..operators.similarity import lsh_neardup
+
     base = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -896,20 +905,11 @@ def q_embedding_neardup(spark, sf_dir):
         F.transform("v", lambda x: x + F.lit(0.02)).alias("v"),
     )
     emb = base.unionByName(twin)
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    pairs = lsh_neardup(
+        emb, dim=64, bands=16, bits=6, threshold=0.9,
+        vec_col="v", id_col="vec_id", seed=42,
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(cos > 0.9)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
-    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
 
 
 # ---------------------------------------------------------------------------
