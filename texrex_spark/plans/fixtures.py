@@ -308,6 +308,35 @@ def build_warc_fixture(path: str) -> str:
     return path
 
 
+def build_arc_fixture(path: str) -> str:
+    """Deterministic gzipped ARC twin of the WARC fixture: record i has the
+    one-line ``<url> <ip> <date> <mime> <size>`` header the begin regex
+    matches (trreader.pas:314-391, regex :316) and the same
+    ``warc_body_size(i)`` body; hosts use the 'a' prefix so WARC and ARC
+    rows stay distinguishable in a union.  Gzipped on disk so the driver
+    row also exercises the transparent gunzip path (trfilein.pas:275-295).
+    A sub-minimum terminator record keeps the last real record's size
+    exact, as in build_warc_fixture."""
+    import gzip
+    import os
+
+    parts = []
+    for i in range(WARC_N_RECORDS):
+        size = warc_body_size(i)
+        parts.append(
+            f"http://a{i % 37}.example.com/p/{i} 10.0.{i % 256}.1 "
+            f"20240101000000 text/html {size}\n"
+            + "x" * size + "\n"
+        )
+    parts.append("http://end.example/ 10.0.0.1 20240101000000 text/html 1\nx\n")
+    data = gzip.compress("".join(parts).encode("utf-8"), compresslevel=1)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # SQL literal helpers
 # ---------------------------------------------------------------------------

@@ -591,9 +591,21 @@ def q_neardup_pairs(spark, sf_dir):
 
 @_register(
     "q_neardup_survivors",
-    _PAIRS_SQL
+    _MINHASH_SQL
     + """
-  , counted AS (
+  , prior AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 1)
+  , kept AS (
+    SELECT h.* FROM hashes h LEFT JOIN prior p ON h.doc_id = p.doc_id
+    WHERE p.doc_id IS NULL
+  ), buckets AS (
+    SELECT j, minhash, list(doc_id ORDER BY doc_id) AS ids
+    FROM kept GROUP BY j, minhash
+    HAVING count(*) BETWEEN 2 AND 200
+  ), pairs AS (
+    SELECT a.x AS doc_a, b.x AS doc_b
+    FROM buckets, unnest(ids) AS a(x), unnest(ids) AS b(x)
+    WHERE a.x < b.x
+  ), counted AS (
     SELECT doc_a, doc_b FROM pairs GROUP BY doc_a, doc_b HAVING COUNT(*) >= 3
   ), blacklist AS (
     SELECT DISTINCT x AS doc_id FROM (
@@ -606,29 +618,40 @@ def q_neardup_pairs(spark, sf_dir):
   )
   SELECT d.doc_id, d.lang FROM documents d
   LEFT JOIN blacklist bl ON d.doc_id = bl.doc_id
-  WHERE bl.doc_id IS NULL
+  LEFT JOIN prior p ON d.doc_id = p.doc_id
+  WHERE bl.doc_id IS NULL AND p.doc_id IS NULL
     """,
 )
 def q_neardup_survivors(spark, sf_dir):
-    """tender blacklist (smaller doc loses, trtenderapplication.pas:549-632)
-    + tecl anti-join (trteclapplication.pas:255-369)."""
+    """The full tender + tecl pipeline through the OPERATOR functions:
+    prior-blacklist pre-filter (docs already blacklisted by an earlier run
+    are excluded before grouping, trtenderapplication.pas:383-387), pair
+    generation with the 200-redundancy cap, blacklist (smaller doc loses,
+    trtenderapplication.pas:549-632), then the tecl anti-join against
+    prior + new blacklists (trteclapplication.pas:255-369).  The prior
+    set is the deterministic doc_id % 37 == 1 slice, so the pre-filter's
+    effect on bucket contents is observable in the oracle."""
+    from ..operators.neardup import tecl, tender
+
     docs = _t(spark, sf_dir, "documents")
-    counted = q_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("na"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("nb"))
-    loser = (
-        counted.join(a, "doc_a")
-        .join(b, "doc_b")
+    # doc(doc_id, fingerprint, doc_size) shape tender consumes; tag each
+    # minhash with its hash index so tender's by-value bucketing equals
+    # the oracle's (j, minhash) grouping exactly
+    fp = (
+        _minhash(spark, sf_dir)
         .select(
-            F.when(F.col("na") < F.col("nb"), F.col("doc_a"))
-            .when(F.col("na") > F.col("nb"), F.col("doc_b"))
-            .when(F.col("doc_a") < F.col("doc_b"), F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("doc_id")
+            "doc_id",
+            F.concat(F.col("j").cast("string"), F.lit(":"), "minhash").alias("mh"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("mh").alias("fingerprint"))
+        .join(
+            docs.select("doc_id", F.col("n_chars").alias("doc_size")), "doc_id"
+        )
     )
-    return docs.join(loser, "doc_id", "left_anti").select("doc_id", "lang")
+    prior = docs.where(F.col("doc_id") % 37 == 1).select("doc_id")
+    bl = tender(fp, min_shared=3, max_redundancy=200, prior_blacklist=prior)
+    return tecl(docs, bl.unionByName(prior)).select("doc_id", "lang")
 
 
 @_register(
@@ -1309,30 +1332,48 @@ def q_charset_convert(spark, sf_dir):
 @_register(
     "q_warc_roundtrip",
     f"""
+    WITH series AS (
+      SELECT unnest(generate_series(0, {fixtures.WARC_N_RECORDS - 1})) AS i
+    ), surv AS (
+      SELECT i, CAST(1000 + (i * 137) % 4000 AS INT) AS body_size FROM series
+      WHERE 1000 + (i * 137) % 4000
+            BETWEEN {fixtures.WARC_MIN} AND {fixtures.WARC_MAX}
+    )
     SELECT 'http://w' || CAST(i % 37 AS VARCHAR) || '.example.com/p/' ||
              CAST(i AS VARCHAR) AS url,
-           'utf-8' AS charset,
-           CAST(1000 + (i * 137) % 4000 AS INT) AS body_size
-    FROM (SELECT unnest(generate_series(0, {fixtures.WARC_N_RECORDS - 1})) AS i)
-    WHERE 1000 + (i * 137) % 4000 BETWEEN {fixtures.WARC_MIN} AND {fixtures.WARC_MAX}
+           'utf-8' AS charset, body_size
+    FROM surv
+    UNION ALL
+    SELECT 'http://a' || CAST(i % 37 AS VARCHAR) || '.example.com/p/' ||
+             CAST(i AS VARCHAR) AS url,
+           '' AS charset, body_size
+    FROM surv
     """,
 )
 def q_warc_roundtrip(spark, sf_dir):
-    """WARC ingestion (trreader.pas:236-305,423-517): binaryFile +
-    mapInPandas segmentation, header extraction (URI/charset), and the
-    min/max doc-size window — read back a deterministic WARC file and
-    check every surviving record against the generating formula."""
+    """WARC ingestion (trreader.pas:236-305,423-517) PLUS its ARC twin
+    (trreader.pas:314-391, begin regex :316) and transparent gunzip
+    (trfilein.pas:275-295): binaryFile + mapInPandas segmentation, header
+    extraction (URI/charset; ARC's one-line header has no charset), and
+    the min/max doc-size window — read back deterministic WARC and
+    gzipped-ARC fixtures of the same records and check every surviving
+    record against the generating formula."""
     import tempfile
 
-    from ..sources.warc import read_warc
+    from ..sources.warc import read_arc, read_warc
 
-    path = f"{tempfile.gettempdir()}/texrex_warc_fixture.warc"
-    fixtures.build_warc_fixture(path)
-    return read_warc(spark, path, fixtures.WARC_MIN, fixtures.WARC_MAX).select(
+    wpath = f"{tempfile.gettempdir()}/texrex_warc_fixture.warc"
+    apath = f"{tempfile.gettempdir()}/texrex_arc_fixture.arc.gz"
+    fixtures.build_warc_fixture(wpath)
+    fixtures.build_arc_fixture(apath)
+    cols = [
         "url",
         "charset",
         F.octet_length("raw_html").cast("int").alias("body_size"),
-    )
+    ]
+    w = read_warc(spark, wpath, fixtures.WARC_MIN, fixtures.WARC_MAX).select(*cols)
+    a = read_arc(spark, apath, fixtures.WARC_MIN, fixtures.WARC_MAX).select(*cols)
+    return w.unionByName(a)
 
 
 _XML_ENC_SQL = (
