@@ -136,16 +136,39 @@ def _canonical_codes(bits: list[int]) -> list[tuple[int, int]]:
 
 
 class _HuffTable:
-    """16-bit peek-table Huffman decoder: LOOKUP[peek16] = (symbol, bits)."""
+    """16-bit peek-table Huffman decoder: LOOKUP[peek16] = (symbol, bits).
+
+    The tables are plain Python lists, not numpy arrays: the entropy
+    decode is a per-symbol Python loop (Huffman decoding is sequential —
+    each symbol's bit position depends on the previous symbol's length,
+    so it cannot be data-parallel), and CPython list indexing returns
+    ready ints several times faster than numpy scalar indexing."""
 
     def __init__(self, bits: list[int], vals: list[int]):
-        self.sym = np.zeros(1 << 16, dtype=np.int16)
-        self.len = np.zeros(1 << 16, dtype=np.uint8)
+        self.sym = [0] * (1 << 16)
+        self.len = [0] * (1 << 16)
         for (code, length), v in zip(_canonical_codes(bits), vals):
             lo = code << (16 - length)
-            hi = lo + (1 << (16 - length))
-            self.sym[lo:hi] = v
-            self.len[lo:hi] = length
+            n = 1 << (16 - length)
+            self.sym[lo : lo + n] = [v] * n
+            self.len[lo : lo + n] = [length] * n
+
+
+# Peek-table construction costs ~1.5 ms per table; real-world JPEGs
+# overwhelmingly ship the Annex K tables, so across a mapInPandas batch
+# the same (bits, vals) recur for every image.  Decoders are read-only
+# after construction, so sharing instances is safe.
+_HUFF_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    key = (tuple(bits), tuple(vals))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        if len(_HUFF_CACHE) >= 16:  # bound worker memory on hostile input
+            _HUFF_CACHE.clear()
+        t = _HUFF_CACHE[key] = _HuffTable(bits, vals)
+    return t
 
 
 def _quant_scaled(base: np.ndarray, quality: int) -> np.ndarray:
@@ -390,40 +413,6 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
-def _decode_block(
-    r: _BitReader, dc: _HuffTable, ac: _HuffTable, q: np.ndarray, pred: int
-) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int64)
-    p16 = r.peek16()
-    cat = int(dc.sym[p16])
-    r.skip(int(dc.len[p16]))
-    diff = _extend(r.receive(cat), cat)
-    pred += diff
-    zz[0] = pred
-    k = 1
-    while k < 64:
-        p16 = r.peek16()
-        sym = int(ac.sym[p16])
-        r.skip(int(ac.len[p16]))
-        run, cat = sym >> 4, sym & 0x0F
-        if cat == 0:
-            if run == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("corrupt JPEG: AC index past block end")
-        zz[k] = _extend(r.receive(cat), cat)
-        k += 1
-    coeffs = np.zeros(64, dtype=np.float64)
-    # zz is zigzag-ordered, q raster-ordered: the i-th zigzag coefficient
-    # dequantizes by q[ZIGZAG[i]] (T.81 F.2.1.4)
-    coeffs[ZIGZAG] = zz * q[ZIGZAG]
-    block = _A.T @ coeffs.reshape(8, 8) @ _A
-    return block, pred
-
-
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes -> (h, w) uint8 gray or (h, w, 3) RGB."""
     if payload[:2] != b"\xff\xd8":
@@ -480,7 +469,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 if i + 17 + nv > len(seg):
                     raise ValueError("corrupt JPEG: truncated DHT values")
                 vals = list(seg[i + 17 : i + 17 + nv])
-                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
+                (huff_ac if tc else huff_dc)[th] = _huff_table(bits, vals)
                 i += 17 + nv
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(seg) < 6:
@@ -570,26 +559,41 @@ def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     i = pos
     n = len(payload)
     while i < n:
-        b = payload[i]
-        if b == 0xFF:
-            nxt = payload[i + 1] if i + 1 < n else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker ends the scan
-        cur.append(b)
-        i += 1
+        # bulk-copy up to the next 0xFF (C-speed find instead of a
+        # per-byte Python walk)
+        j = payload.find(b"\xff", i)
+        if j == -1:
+            cur += payload[i:]
+            i = n
+            break
+        cur += payload[i:j]
+        nxt = payload[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+            continue
+        i = j
+        break  # EOI or next marker ends the scan
     segments.append(bytes(cur))
     return segments, i
 
 
 def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    """Baseline scan: one tight Python-int entropy loop over all MCUs
+    collecting (flat position, value) of the nonzero quantized
+    coefficients, then BATCHED numpy dequantization, IDCT (broadcast
+    8x8 matmuls over all blocks at once) and block scatter.
+
+    Huffman decoding is inherently sequential (each symbol's bit offset
+    depends on the previous symbol's length), so the symbol loop stays
+    Python — but on a plain-int bit reservoir with list peek tables it
+    runs ~10x the old per-block _BitReader/numpy path, and everything
+    after the symbol stream is vectorized."""
     h, w = frame["h"], frame["w"]
     if len(scan) == 1:
         # T.81 A.2.2: a non-interleaved (single-component) scan walks the
@@ -601,33 +605,128 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interv
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
-        for c, _, _ in scan
-    ]
     segments, _ = _split_entropy(payload, pos)
 
     total_mcus = mcux * mcuy
-    seg_idx = 0
-    r = _BitReader(segments[0])
-    preds = [0] * len(scan)
     per_seg = restart_interval if restart_interval else total_mcus
+    ncomp = len(scan)
+    # per-MCU block pattern: component index + its peek tables, one entry
+    # per data unit in interleave order (T.81 A.2.3: by outer, bx inner)
+    pattern = []
+    for ci, (comp, td, ta) in enumerate(scan):
+        dct, act = huff_dc[td], huff_ac[ta]
+        for _ in range(comp["h"] * comp["v"]):
+            pattern.append((ci, dct.sym, dct.len, act.sym, act.len))
+    bpm = len(pattern)
+    n_blocks = total_mcus * bpm
+
+    nz_pos: list[int] = []
+    nz_val: list[int] = []
+    app_p = nz_pos.append
+    app_v = nz_val.append
+    preds = [0] * ncomp
+    seg_idx = 0
+    data = segments[0] + b"\x00\x00\x00\x00"
+    dpos = 0
+    bitbuf = 0  # MSB-first reservoir: low `bitcnt` bits are unread stream
+    bitcnt = 0
+    base = 0
     for m in range(total_mcus):
         if m and m % per_seg == 0 and seg_idx + 1 < len(segments):
             seg_idx += 1
-            r = _BitReader(segments[seg_idx])
-            preds = [0] * len(scan)
-        my, mx = divmod(m, mcux)
-        for ci, (comp, td, ta) in enumerate(scan):
-            q = qt[comp["tq"]]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    block, preds[ci] = _decode_block(
-                        r, huff_dc[td], huff_ac[ta], q, preds[ci]
-                    )
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            data = segments[seg_idx] + b"\x00\x00\x00\x00"
+            dpos = 0
+            bitbuf = 0
+            bitcnt = 0
+            preds = [0] * ncomp
+        for ci, dsym, dlen, asym, alen in pattern:
+            # ---- DC: symbol + magnitude bits consumed together
+            while bitcnt < 16:
+                bitbuf = (bitbuf << 8) | data[dpos]
+                dpos += 1
+                bitcnt += 8
+            p16 = (bitbuf >> (bitcnt - 16)) & 0xFFFF
+            cat = dsym[p16]
+            if cat > 15:
+                raise ValueError("corrupt JPEG: bad DC category")
+            need = dlen[p16] + cat
+            while bitcnt < need:
+                bitbuf = (bitbuf << 8) | data[dpos]
+                dpos += 1
+                bitcnt += 8
+            bitcnt -= need
+            if cat:
+                v = (bitbuf >> bitcnt) & ((1 << cat) - 1)
+                pred = preds[ci] + (
+                    v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                )
+            else:
+                pred = preds[ci]
+            preds[ci] = pred
+            if pred:
+                app_p(base)
+                app_v(pred)
+            bitbuf &= (1 << bitcnt) - 1
+            # ---- AC run-length loop
+            k = 1
+            while k < 64:
+                while bitcnt < 16:
+                    bitbuf = (bitbuf << 8) | data[dpos]
+                    dpos += 1
+                    bitcnt += 8
+                p16 = (bitbuf >> (bitcnt - 16)) & 0xFFFF
+                sym = asym[p16]
+                cat = sym & 0x0F
+                need = alen[p16] + cat
+                while bitcnt < need:
+                    bitbuf = (bitbuf << 8) | data[dpos]
+                    dpos += 1
+                    bitcnt += 8
+                bitcnt -= need
+                if cat == 0:
+                    bitbuf &= (1 << bitcnt) - 1
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC index past block end")
+                v = (bitbuf >> bitcnt) & ((1 << cat) - 1)
+                bitbuf &= (1 << bitcnt) - 1
+                app_p(base + k)
+                app_v(v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1)
+                k += 1
+            base += 64
+
+    zz = np.zeros(n_blocks * 64, dtype=np.int64)
+    if nz_pos:
+        zz[np.array(nz_pos, dtype=np.int64)] = np.array(nz_val, dtype=np.int64)
+    zz = zz.reshape(n_blocks, 64)
+
+    # batched dequant + IDCT + scatter, per component
+    pat_ci = np.array([p[0] for p in pattern])
+    block_ci = np.tile(pat_ci, total_mcus)
+    ms = np.arange(total_mcus)
+    mys, mxs = np.divmod(ms, mcux)
+    planes = []
+    for ci, (comp, _, _) in enumerate(scan):
+        hh, vv = comp["h"], comp["v"]
+        zzc = zz[block_ci == ci]  # MCU-major, by-outer bx-inner order
+        q = qt[comp["tq"]]
+        coeffs = np.zeros((len(zzc), 64), dtype=np.float64)
+        # zz is zigzag-ordered, q raster-ordered: the i-th zigzag
+        # coefficient dequantizes by q[ZIGZAG[i]] (T.81 F.2.1.4)
+        coeffs[:, ZIGZAG] = zzc * q[ZIGZAG]
+        blocks = _A.T @ coeffs.reshape(-1, 8, 8) @ _A
+        plane = np.zeros((mcuy * 8 * vv, mcux * 8 * hh), dtype=np.float64)
+        pv = plane.reshape(mcuy * vv, 8, mcux * hh, 8)
+        by = np.repeat(np.arange(vv), hh)
+        bx = np.tile(np.arange(hh), vv)
+        rows = np.repeat(mys, vv * hh) * vv + np.tile(by, total_mcus)
+        cols = np.repeat(mxs, vv * hh) * hh + np.tile(bx, total_mcus)
+        pv[rows, :, cols, :] = blocks
+        planes.append(plane)
 
     return _assemble([c for c, _, _ in scan], planes, h, w, hmax, vmax)
 
@@ -677,9 +776,20 @@ def _comp_blocks(frame, comp):
 
 
 def _alloc_coefs(frame):
+    """Per-component coefficient store: one 64-list per block, raster
+    block order.  Plain Python lists, not numpy — progressive refinement
+    reads and writes individual coefficients in a sequential Python loop,
+    where list element access is several times faster than numpy scalar
+    indexing; the store becomes an ndarray once, at reconstruction."""
     _, _, mcux, mcuy = _frame_geometry(frame)
     return {
-        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        c["id"]: {
+            "bh": mcuy * c["v"],
+            "bw": mcux * c["h"],
+            "blocks": [
+                [0] * 64 for _ in range(mcuy * c["v"] * mcux * c["h"])
+            ],
+        }
         for c in frame["comps"]
     }
 
@@ -712,16 +822,21 @@ def _decode_progressive_scan(
             raise ValueError("corrupt JPEG: scan references missing table")
         ac_tab = huff_ac[ta]
 
-    # unit list: (comp_id, by, bx) in scan order
+    # unit list: (scan comp index, block list) in scan order — binding the
+    # block's Python list directly avoids all per-unit indexing
     units = []
     if len(scan) > 1:  # interleaved DC scan: MCU order
         for m in range(mcux * mcuy):
             my, mx = divmod(m, mcux)
-            for comp, _, _ in scan:
+            for ci, (comp, _, _) in enumerate(scan):
+                st = coefs[comp["id"]]
+                bw = st["bw"]
+                blocks = st["blocks"]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         units.append(
-                            (comp["id"], my * comp["v"] + by, mx * comp["h"] + bx)
+                            (ci, blocks[(my * comp["v"] + by) * bw
+                                        + mx * comp["h"] + bx])
                         )
         per_seg_units = restart_interval * sum(
             c["h"] * c["v"] for c, _, _ in scan
@@ -729,106 +844,193 @@ def _decode_progressive_scan(
     else:  # single component: its own block raster
         comp = scan[0][0]
         bh, bw = _comp_blocks(frame, comp)
+        st = coefs[comp["id"]]
+        full_bw = st["bw"]
+        blocks = st["blocks"]
         for by in range(bh):
             for bx in range(bw):
-                units.append((comp["id"], by, bx))
+                units.append((0, blocks[by * full_bw + bx]))
         per_seg_units = restart_interval if restart_interval else 0
 
-    comp_index = {c["id"]: i for i, (c, _, _) in enumerate(scan)}
+    # the same plain-int MSB-first reservoir as the baseline scan loop
+    dc_sym = [t.sym for t in dc_tabs]
+    dc_len = [t.len for t in dc_tabs]
+    a_sym = ac_tab.sym if ac_tab is not None else None
+    a_len = ac_tab.len if ac_tab is not None else None
     seg_idx = 0
-    r = _BitReader(segments[0])
+    data = segments[0] + b"\x00\x00\x00\x00"
+    dpos = 0
+    bitbuf = 0
+    bitcnt = 0
     preds = [0] * len(scan)
     eobrun = 0
-    for ui, (cid, by, bx) in enumerate(units):
+    p1 = 1 << al
+    m1 = -1 << al
+    for ui, (ci, block) in enumerate(units):
         if per_seg_units and ui and ui % per_seg_units == 0 \
                 and seg_idx + 1 < len(segments):
             seg_idx += 1
-            r = _BitReader(segments[seg_idx])
+            data = segments[seg_idx] + b"\x00\x00\x00\x00"
+            dpos = 0
+            bitbuf = 0
+            bitcnt = 0
             preds = [0] * len(scan)
             eobrun = 0
-        block = coefs[cid][by, bx]
         if ss == 0:
-            ci = comp_index[cid]
             if ah == 0:  # DC first
-                p16 = r.peek16()
-                cat = int(dc_tabs[ci].sym[p16])
-                r.skip(int(dc_tabs[ci].len[p16]))
-                preds[ci] += _extend(r.receive(cat), cat)
+                while bitcnt < 16:
+                    bitbuf = (bitbuf << 8) | data[dpos]
+                    dpos += 1
+                    bitcnt += 8
+                p16 = (bitbuf >> (bitcnt - 16)) & 0xFFFF
+                cat = dc_sym[ci][p16]
+                if cat > 15:
+                    raise ValueError("corrupt JPEG: bad DC category")
+                need = dc_len[ci][p16] + cat
+                while bitcnt < need:
+                    bitbuf = (bitbuf << 8) | data[dpos]
+                    dpos += 1
+                    bitcnt += 8
+                bitcnt -= need
+                if cat:
+                    v = (bitbuf >> bitcnt) & ((1 << cat) - 1)
+                    preds[ci] += (
+                        v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                    )
+                bitbuf &= (1 << bitcnt) - 1
                 block[0] = preds[ci] << al
             else:  # DC refinement: one bit per block
-                if r.receive(1):
-                    block[0] |= 1 << al
+                if not bitcnt:
+                    bitbuf = data[dpos]
+                    dpos += 1
+                    bitcnt = 8
+                bitcnt -= 1
+                if (bitbuf >> bitcnt) & 1:
+                    block[0] |= p1
+                bitbuf &= (1 << bitcnt) - 1
         elif ah == 0:
-            eobrun = _ac_first(r, ac_tab, block, ss, se, al, eobrun)
-        else:
-            eobrun = _ac_refine(r, ac_tab, block, ss, se, al, eobrun)
-    return endpos
-
-
-def _ac_first(r, ac, block, ss, se, al, eobrun):
-    """T.81 G.1.2.2 first AC scan of a band: EOB runs + shifted values."""
-    if eobrun > 0:
-        return eobrun - 1
-    k = ss
-    while k <= se:
-        p16 = r.peek16()
-        sym = int(ac.sym[p16])
-        r.skip(int(ac.len[p16]))
-        run, cat = sym >> 4, sym & 0x0F
-        if cat == 0:
-            if run < 15:  # EOBn: run-length of all-done blocks
-                return (1 << run) - 1 + (r.receive(run) if run else 0)
-            k += 16  # ZRL
-            continue
-        k += run
-        if k > se:
-            raise ValueError("corrupt JPEG: AC index past band end")
-        block[k] = _extend(r.receive(cat), cat) << al
-        k += 1
-    return 0
-
-
-def _ac_refine(r, ac, block, ss, se, al, eobrun):
-    """T.81 G.1.2.3 AC refinement: one correction bit per already-nonzero
-    coefficient, new ±1<<Al significances coded as run/1 symbols."""
-    p1 = 1 << al
-    m1 = -1 << al
-    k = ss
-    if eobrun == 0:
-        while k <= se:
-            p16 = r.peek16()
-            sym = int(ac.sym[p16])
-            r.skip(int(ac.len[p16]))
-            run, cat = sym >> 4, sym & 0x0F
-            if cat == 0:
-                if run < 15:
-                    eobrun = (1 << run) + (r.receive(run) if run else 0)
-                    break
-                val = 0  # ZRL: skip 16 zero-history coefficients
-            elif cat == 1:
-                val = p1 if r.receive(1) else m1
-            else:
-                raise ValueError("corrupt JPEG: bad refinement category")
+            # ---- T.81 G.1.2.2 first AC scan: EOB runs + shifted values
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
             while k <= se:
-                if block[k]:
-                    if r.receive(1) and (block[k] & p1) == 0:
-                        block[k] += p1 if block[k] >= 0 else m1
-                else:
-                    if run == 0:
+                while bitcnt < 16:
+                    bitbuf = (bitbuf << 8) | data[dpos]
+                    dpos += 1
+                    bitcnt += 8
+                p16 = (bitbuf >> (bitcnt - 16)) & 0xFFFF
+                sym = a_sym[p16]
+                cat = sym & 0x0F
+                run = sym >> 4
+                if cat == 0:
+                    if run < 15:  # EOBn: run-length of all-done blocks
+                        need = a_len[p16] + run
+                        while bitcnt < need:
+                            bitbuf = (bitbuf << 8) | data[dpos]
+                            dpos += 1
+                            bitcnt += 8
+                        bitcnt -= need
+                        ext = (bitbuf >> bitcnt) & ((1 << run) - 1) if run else 0
+                        bitbuf &= (1 << bitcnt) - 1
+                        eobrun = (1 << run) - 1 + ext
                         break
-                    run -= 1
+                    bitcnt -= a_len[p16]  # ZRL
+                    bitbuf &= (1 << bitcnt) - 1
+                    k += 16
+                    continue
+                need = a_len[p16] + cat
+                while bitcnt < need:
+                    bitbuf = (bitbuf << 8) | data[dpos]
+                    dpos += 1
+                    bitcnt += 8
+                bitcnt -= need
+                k += run
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC index past band end")
+                v = (bitbuf >> bitcnt) & ((1 << cat) - 1)
+                bitbuf &= (1 << bitcnt) - 1
+                block[k] = (
+                    v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                ) << al
                 k += 1
-            if cat and k <= se:
-                block[k] = val
-            k += 1
-    if eobrun > 0:
-        while k <= se:
-            if block[k]:
-                if r.receive(1) and (block[k] & p1) == 0:
-                    block[k] += p1 if block[k] >= 0 else m1
-            k += 1
-        eobrun -= 1
-    return eobrun
+        else:
+            # ---- T.81 G.1.2.3 AC refinement: one correction bit per
+            # already-nonzero coefficient, new ±1<<Al as run/1 symbols
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    while bitcnt < 16:
+                        bitbuf = (bitbuf << 8) | data[dpos]
+                        dpos += 1
+                        bitcnt += 8
+                    p16 = (bitbuf >> (bitcnt - 16)) & 0xFFFF
+                    sym = a_sym[p16]
+                    cat = sym & 0x0F
+                    run = sym >> 4
+                    bitcnt -= a_len[p16]
+                    bitbuf &= (1 << bitcnt) - 1
+                    if cat == 0:
+                        if run < 15:
+                            if run:
+                                while bitcnt < run:
+                                    bitbuf = (bitbuf << 8) | data[dpos]
+                                    dpos += 1
+                                    bitcnt += 8
+                                bitcnt -= run
+                                ext = (bitbuf >> bitcnt) & ((1 << run) - 1)
+                                bitbuf &= (1 << bitcnt) - 1
+                            else:
+                                ext = 0
+                            eobrun = (1 << run) + ext
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coefficients
+                    elif cat == 1:
+                        if not bitcnt:
+                            bitbuf = data[dpos]
+                            dpos += 1
+                            bitcnt = 8
+                        bitcnt -= 1
+                        val = p1 if (bitbuf >> bitcnt) & 1 else m1
+                        bitbuf &= (1 << bitcnt) - 1
+                    else:
+                        raise ValueError("corrupt JPEG: bad refinement category")
+                    while k <= se:
+                        bk = block[k]
+                        if bk:
+                            if not bitcnt:
+                                bitbuf = data[dpos]
+                                dpos += 1
+                                bitcnt = 8
+                            bitcnt -= 1
+                            b = (bitbuf >> bitcnt) & 1
+                            bitbuf &= (1 << bitcnt) - 1
+                            if b and (bk & p1) == 0:
+                                block[k] = bk + (p1 if bk >= 0 else m1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if cat and k <= se:
+                        block[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    bk = block[k]
+                    if bk:
+                        if not bitcnt:
+                            bitbuf = data[dpos]
+                            dpos += 1
+                            bitcnt = 8
+                        bitcnt -= 1
+                        b = (bitbuf >> bitcnt) & 1
+                        bitbuf &= (1 << bitcnt) - 1
+                        if b and (bk & p1) == 0:
+                            block[k] = bk + (p1 if bk >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return endpos
 
 
 def _reconstruct_progressive(frame, qt, coefs):
@@ -840,8 +1042,9 @@ def _reconstruct_progressive(frame, qt, coefs):
         if comp["tq"] not in qt:
             raise ValueError("corrupt JPEG: missing quantization table")
         q = qt[comp["tq"]]  # raster order
-        zz = coefs[comp["id"]]  # (bh, bw, 64) zigzag
-        bh, bw = zz.shape[:2]
+        st = coefs[comp["id"]]
+        bh, bw = st["bh"], st["bw"]
+        zz = np.array(st["blocks"], dtype=np.int64).reshape(bh, bw, 64)
         raster = np.zeros((bh, bw, 64), dtype=np.float64)
         raster[..., ZIGZAG] = zz
         raster *= q
