@@ -149,6 +149,152 @@ def bench_clean_chain(spark, n_docs: int = 24000) -> dict:
     }
 
 
+def _media_fixture_row(idx: int, codec: str) -> dict:
+    """Deterministic payload for one bench row of a given codec.  Every
+    byte comes from the engine's own encoders (no codec libraries in the
+    container); JPEG/MP4 content is a smooth sinusoid field (transform
+    codecs exist for photographs, not white noise), GIF uses a limited
+    palette (LZW-friendly)."""
+    import numpy as np
+
+    from texrex_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(0xBEEF ^ idx)
+    w = h = 128
+    if codec == "wav":
+        rate, n = 8000, 8000
+        samples = rng.integers(-(2**14), 2**14, n, dtype=np.int16)
+        return {
+            "media_ref": f"wav/{idx}", "kind": "audio",
+            "payload": mm.encode_wav(samples, rate),
+            "meta": {"width": 0, "height": 0,
+                     "duration_ms": int(n * 1000 / rate), "mime": "audio/wav"},
+        }
+    if codec == "mp4":
+        from texrex_spark.operators.mp4 import encode_mjpeg_mp4
+
+        w = h = 32
+        yy = np.linspace(0, 4 * np.pi, h)[:, None]
+        xx = np.linspace(0, 4 * np.pi, w)[None, :]
+        frames = []
+        for i in range(6):
+            base = 128 + 90 * np.sin(yy + 0.4 * i) * np.cos(xx)
+            frames.append(
+                np.clip(np.stack([base] * 3, -1), 0, 255).astype(np.uint8)
+            )
+        return {
+            "media_ref": f"mp4/{idx}", "kind": "video",
+            "payload": encode_mjpeg_mp4(frames, fps=10, quality=90),
+            "meta": {"width": w, "height": h, "duration_ms": 600,
+                     "mime": "video/mp4"},
+        }
+    if codec == "gif":
+        from texrex_spark.operators.gif import encode_gif_frames
+
+        img = rng.integers(0, 8, (h, w, 3), dtype=np.uint8) * 36
+        payload, mime = encode_gif_frames([img], delay_cs=6), "image/gif"
+    elif codec == "pgm":
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        payload, mime = mm.encode_pgm(img), "image/x-portable-graymap"
+    elif codec == "ppm":
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload, mime = mm.encode_ppm(img), "image/x-portable-pixmap"
+    elif codec == "bmp":
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload, mime = mm.encode_bmp(img), "image/bmp"
+    elif codec == "png":
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payload, mime = mm.encode_png(img), "image/png"
+    elif codec in ("jpeg", "jpeg_progressive"):
+        from texrex_spark.operators.jpeg import (
+            encode_jpeg,
+            encode_progressive_jpeg,
+        )
+
+        yy = np.linspace(0, 4 * np.pi, h)[:, None]
+        xx = np.linspace(0, 4 * np.pi, w)[None, :]
+        base = 128 + 90 * np.sin(yy + float(rng.uniform(0, np.pi))) * np.cos(xx)
+        img = np.clip(
+            np.stack([base, np.roll(base, 3, 0), np.roll(base, 3, 1)], -1),
+            0, 255,
+        ).astype(np.uint8)
+        enc = encode_progressive_jpeg if codec.endswith("progressive") else encode_jpeg
+        payload, mime = enc(img, quality=90, subsampling="420"), "image/jpeg"
+    else:
+        raise ValueError(codec)
+    return {
+        "media_ref": f"{codec}/{idx}", "kind": "image", "payload": payload,
+        "meta": {"width": w, "height": h, "duration_ms": 0, "mime": mime},
+    }
+
+
+# (codec, n_objects): counts sized so each timed section is O(1s) on
+# local[32] — enough work to dominate task-launch overhead, small enough
+# to keep the per-round driver bench bounded.
+MEDIA_CODECS = [
+    ("pgm", 4096), ("ppm", 4096), ("bmp", 4096), ("png", 2048),
+    ("jpeg", 1024), ("jpeg_progressive", 512), ("gif", 2048),
+    ("wav", 4096), ("mp4", 256),
+]
+
+
+def bench_media(spark) -> dict:
+    """Decode -> feature throughput per codec through the REAL distributed
+    path (mapInPandas over binary payload batches, Arrow transfer) — the
+    ledger VERDICT r04 #2 asked for.  Reports docs/s and megapixels/s
+    (samples/s for WAV, frames/s for MP4).  Fixture generation (also
+    pure-Python encoders) runs once, persisted, untimed.  Production
+    swaps libjpeg/PIL/pyav behind decode(payload); these numbers are the
+    pure-stdlib floor, not the ceiling."""
+    from texrex_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_features,
+        sample_frames,
+    )
+
+    out: dict[str, dict] = {}
+    for codec, n in MEDIA_CODECS:
+        def gen(batches, _codec=codec):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [_media_fixture_row(int(i), _codec) for i in pdf["id"]]
+                )
+
+        media = (
+            spark.range(n)
+            .repartition(32)
+            .mapInPandas(gen, MEDIA_SCHEMA)
+            .persist()
+        )
+        media.count()
+        if codec == "wav":
+            job = lambda: extract_audio_features(media)
+            unit, work = "samples", n * 8000
+        elif codec == "mp4":
+            job = lambda: sample_frames(media, every_k=2)
+            unit, work = "frames", n * 6
+        else:
+            job = lambda: extract_features(media)
+            px = 32 * 32 if codec == "mp4" else 128 * 128
+            unit, work = "megapixels", n * px / 1e6
+        job().write.format("noop").mode("overwrite").save()  # warm path
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            job().write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        dt = min(times)
+        media.unpersist()
+        out[codec] = {
+            "objects": n,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1),
+            unit + "_per_sec": round(work / dt, 2),
+        }
+    return out
+
+
 def bench_frontier(spark, n_urls: int, work_dir: str) -> dict:
     """One scheduler round over a synthetic n-URL frontier: canonicalize ->
     partitioned-bloom dedup -> robots gate -> politeness admit.  The
@@ -218,25 +364,44 @@ def main() -> None:
         warm_dir = tempfile.mkdtemp(prefix="texrex-bench-warm-")
         bench_frontier(spark, 100_000, warm_dir)
         shutil.rmtree(warm_dir, ignore_errors=True)
-        per_query = bench_queries(spark, sf_dir)
-        twins = bench_queries(spark, sf_dir, names=TWINS)
+        # Per-section 1-min loadavg before/after, so BENCH_r{N} deltas can
+        # be read same-regime (VERDICT r04 #4): every timed section starts
+        # behind the quiet gate and records the load it actually saw.
+        load: dict[str, list[float]] = {}
+
+        def gated(name: str, fn):
+            _wait_quiet()
+            before = round(os.getloadavg()[0], 2)
+            result = fn()
+            load[name] = [before, round(os.getloadavg()[0], 2)]
+            return result
+
+        per_query = gated("queries", lambda: bench_queries(spark, sf_dir))
+        twins = gated("twins", lambda: bench_queries(spark, sf_dir, names=TWINS))
         # Frontier: min of 2 independent rounds (fresh seen-set each — a
         # reused work dir would see all URLs as duplicates), each behind a
         # short quiet gate so a single external host-load wave (BENCH.md)
         # can't poison the one number the driver records.
         runs = []
+        floads = []
         for _ in range(2):
             _wait_quiet()
+            floads.append(round(os.getloadavg()[0], 2))
             fdir = tempfile.mkdtemp(prefix="texrex-bench-frontier-")
             try:
                 runs.append(bench_frontier(spark, n_urls, fdir))
             finally:
                 shutil.rmtree(fdir, ignore_errors=True)
+            floads.append(round(os.getloadavg()[0], 2))
+        load["frontier"] = floads
         frontier = min(runs, key=lambda r: r["sec"])
         frontier["runs_sec"] = [r["sec"] for r in runs]
-        clean = bench_clean_chain(spark)
+        clean = gated("clean_chain", lambda: bench_clean_chain(spark))
+        media = gated("media", lambda: bench_media(spark))
         # Sum of timed sections (not wall): gate waits and the discarded
         # second frontier run are measurement overhead, not engine time.
+        # The media ledger (new in r5) is reported but NOT summed into the
+        # total, keeping the headline comparable across rounds.
         total = round(
             sum(per_query.values()) + frontier["sec"] + clean["sec"], 3
         )
@@ -251,6 +416,8 @@ def main() -> None:
                     "sf": sf,
                     "frontier": frontier,
                     "clean_chain": clean,
+                    "media": media,
+                    "load_1min_before_after": load,
                     "cpus": cpus,
                 }
             )

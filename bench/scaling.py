@@ -38,6 +38,16 @@ RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 # load-after an interference signal rather than a self-load echo).
 LOAD_GATE = float(os.environ.get("SCALING_LOAD_GATE", "3.0"))
 GATE_TIMEOUT = float(os.environ.get("SCALING_GATE_TIMEOUT", "420"))
+# Giant data-scaling points (>=1B URLs) need different storage knobs: the
+# persisted input alone would be ~65 GB at 1B, which fits neither the 12 GB
+# heap nor tmpfs+heap together.  SCALING_NO_PERSIST=1 regenerates the
+# deterministic input inside each measured run instead (spark.range +
+# xxhash64 codegen, strictly conservative: measured time then INCLUDES
+# generation); SCALING_LOCAL_DIR moves shuffle off tmpfs when RAM is the
+# scarce resource; SCALING_DRIVER_MEM sizes the heap.
+NO_PERSIST = os.environ.get("SCALING_NO_PERSIST", "0") == "1"
+LOCAL_DIR = os.environ.get("SCALING_LOCAL_DIR", "/dev/shm")
+DRIVER_MEM = os.environ.get("SCALING_DRIVER_MEM", "12g")
 
 
 def wait_quiet(gate: float = LOAD_GATE, timeout: float = GATE_TIMEOUT) -> float:
@@ -59,7 +69,7 @@ def run_config(cores: int) -> dict:
     from texrex_spark.operators.robots import gate_frontier
     from texrex_spark.sources.synth import synthetic_frontier_df
 
-    local_dir = tempfile.mkdtemp(prefix="spark-shuffle-", dir="/dev/shm")
+    local_dir = tempfile.mkdtemp(prefix="spark-shuffle-", dir=LOCAL_DIR)
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"texrex-scaling-{cores}")
@@ -71,7 +81,7 @@ def run_config(cores: int) -> dict:
         .config("spark.default.parallelism", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "12g")
+        .config("spark.driver.memory", DRIVER_MEM)
         .config("spark.ui.enabled", "false")
         # tmpfs shuffle dir: the sandbox has one shared disk whose fixed
         # bandwidth would otherwise be the Amdahl term between N and 4N
@@ -81,8 +91,10 @@ def run_config(cores: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    raw = synthetic_frontier_df(spark, N_URLS, N_HOSTS).repartition(32).persist()
-    raw.count()  # input materialized once; measured runs see identical input
+    raw = synthetic_frontier_df(spark, N_URLS, N_HOSTS).repartition(32)
+    if not NO_PERSIST:
+        raw = raw.persist()
+        raw.count()  # input materialized once; measured runs see identical input
     robots = spark.range(N_HOSTS).select(
         F.concat(F.lit("bench"), F.col("id").cast("string"), F.lit(".example")).alias(
             "host"
@@ -136,6 +148,7 @@ def run_config(cores: int) -> dict:
     return {
         "cores": cores,
         "urls": N_URLS,
+        "input_regenerated_per_run": NO_PERSIST,
         "times_sec": [round(t, 2) for t in times],
         "load_avg_before_each": loads_before,
         "load_avg_after_each": loads,

@@ -76,11 +76,14 @@ class CleanResult:
 
 def clean_document(
     doc_id: str, url: str, raw_html: str, config: ChainConfig | None = None,
-    defer_shingle: bool = False,
+    defer_shingle: bool = False, want_div_stats: bool = True,
 ) -> CleanResult:
     """defer_shingle=True skips the MinHash stage and returns the token
     stream instead, so the Spark operator can shingle-hash a whole Arrow
-    batch at once (shingle.fingerprint_batch_signed, bit-identical)."""
+    batch at once (shingle.fingerprint_batch_signed, bit-identical).
+    want_div_stats=False skips building the per-div stats dicts — the
+    default clean_docs operator drops them (CLEAN_SCHEMA has no div_stats
+    column), so the hot path shouldn't pay for their construction."""
     cfg = config or ChainConfig()
 
     # 1. strip (char state machine; also harvests links + header meta)
@@ -168,7 +171,7 @@ def clean_document(
             valid = False
             killed_by = killed_by or "simple_filter"
 
-    div_stats = [
+    div_stats = [] if not want_div_stats else [
         {
             "container": d.container,
             "closing_start": d.closing_start,
@@ -236,7 +239,10 @@ def clean_docs(docs_df, config: ChainConfig | None = None):
             rows = []
             token_streams: list[list[str]] = []
             for doc_id, url, raw in zip(pdf["doc_id"], pdf["url"], pdf["raw_html"]):
-                r = clean_document(str(doc_id), url, raw, cfg, defer_shingle=True)
+                r = clean_document(
+                    str(doc_id), url, raw, cfg,
+                    defer_shingle=True, want_div_stats=False,
+                )
                 token_streams.append(r.tokens or [])
                 rows.append(
                     {
