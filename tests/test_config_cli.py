@@ -122,8 +122,23 @@ def test_cli_clean_tender_tecl_roundtrip(spark, tmp_path):
                      "--max-records", "40"]) == 0
     import glob
 
-    files = glob.glob(os.path.join(parts, "part-*"))
+    # one parquet file per greedy bucket, under _part=<salt>-<seq>/ dirs
+    files = glob.glob(os.path.join(parts, "_part=*", "part-*"))
     assert files
+    back = spark.read.parquet(parts)
+    assert back.drop("_part").count() == spark.read.parquet(flat).count()
+    # cowsplit contract: a document never straddles two files, and a file
+    # exceeds the cap only by the tail of the doc it finishes
+    from pyspark.sql import functions as SF
+
+    per_doc = back.select("doc_id", SF.input_file_name().alias("f"))
+    assert (
+        per_doc.groupBy("doc_id").agg(SF.countDistinct("f").alias("nf"))
+        .agg(SF.max("nf")).collect()[0][0] == 1
+    )
+    max_doc = back.groupBy("doc_id").count().agg(SF.max("count")).collect()[0][0]
+    max_file = per_doc.groupBy("f").count().agg(SF.max("count")).collect()[0][0]
+    assert max_file <= 40 + max_doc - 1
     # spark session still alive and usable after all CLI calls
     assert spark.range(3).count() == 3
 

@@ -183,13 +183,53 @@ def cowinterleave(cleaned: DataFrame) -> DataFrame:
     )
 
 
-def cowsplit_write(df: DataFrame, path: str, max_records_per_file: int) -> None:
-    """Size-based output splitting that never splits a document — Spark's
-    maxRecordsPerFile after repartitioning by doc (trcowsplitapplication.pas
-    semantics at file granularity)."""
-    df.repartition("doc_id").write.option(
-        "maxRecordsPerFile", max_records_per_file
-    ).mode("overwrite").parquet(path)
+def cowsplit_write(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    parallelism: int = 8,
+) -> None:
+    """Size-capped output splitting that NEVER splits a document.
+
+    Reference semantics (trcowsplitapplication.pas:250-256): roll to the
+    next output file only when the record count has reached the cap AND
+    the next record starts a new document — so a file may exceed the cap
+    by the tail of the document it finishes, but a document never
+    straddles two files.  (Spark's ``maxRecordsPerFile`` alone cannot
+    express this: it cuts blindly at record boundaries.)
+
+    Distributed shape: per-doc record counts -> hash-salt docs into
+    ``parallelism`` independent packers -> per-packer running sum packs
+    WHOLE docs greedily into file buckets of ~max_records (a doc whose
+    running start falls inside bucket b lands entirely in b, mirroring
+    the reference's finish-the-doc overflow) -> one parquet file per
+    bucket via ``partitionBy("_part")``.  The window sort is per salt
+    group (~n_docs/parallelism rows), never global; the reference's
+    single sequential writer is the ``parallelism=1`` special case."""
+    counts = df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(parallelism)),
+    )
+    w = Window.partitionBy("_salt").orderBy("doc_id")
+    buckets = counts.withColumn(
+        "_start", F.sum("_n").over(w) - F.col("_n")
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.col("_salt"),
+            F.floor(F.col("_start") / F.lit(max_records_per_file)).cast("long"),
+        ).alias("_part"),
+    )
+    (
+        df.join(buckets, "doc_id")
+        .repartition("_part")
+        .sortWithinPartitions("_part", "doc_id")
+        .write.partitionBy("_part")
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
 def tarc_sink(docs: DataFrame) -> DataFrame:

@@ -325,22 +325,48 @@ def q_robots_gate(spark, sf_dir):
              doc_id AS priority,
              CAST(5 + (doc_id % 37) % 7 AS BIGINT) AS delay
       FROM documents
-    ), ranked AS (
+    ), r1 AS (
       SELECT doc_id, host, priority, delay,
              row_number() OVER (PARTITION BY host ORDER BY priority) AS host_rank
       FROM frontier
+    ), a1 AS (
+      SELECT doc_id, host, host_rank, delay,
+             CAST((host_rank - 1) * delay AS BIGINT) AS fetch_time
+      FROM r1 WHERE host_rank <= 60 / delay
+    ), hs2 AS (
+      SELECT host, MAX(fetch_time) AS last_access FROM a1 GROUP BY host
+    ), f2 AS (
+      SELECT f.* FROM frontier f
+      LEFT JOIN a1 ON f.doc_id = a1.doc_id
+      WHERE a1.doc_id IS NULL
+    ), r2 AS (
+      SELECT f2.doc_id, f2.host, f2.delay, hs2.last_access,
+             row_number() OVER (PARTITION BY f2.host ORDER BY f2.priority)
+               AS host_rank
+      FROM f2 JOIN hs2 ON f2.host = hs2.host
+    ), a2 AS (
+      SELECT doc_id, host, host_rank,
+             CAST(greatest(last_access + delay, 30)
+                  + (host_rank - 1) * delay AS BIGINT) AS fetch_time
+      FROM r2
+      WHERE host_rank <= 60 / delay
+        AND greatest(last_access + delay, 30) + (host_rank - 1) * delay < 90
     )
-    SELECT doc_id, host, host_rank,
-           CAST((host_rank - 1) * delay AS BIGINT) AS fetch_time
-    FROM ranked
-    WHERE host_rank <= 60 / delay
+    SELECT 1 AS round, doc_id, host, host_rank, fetch_time FROM a1
+    UNION ALL
+    SELECT 2 AS round, doc_id, host, host_rank, fetch_time FROM a2
     """,
 )
 def q_politeness_admit(spark, sf_dir):
-    """Per-host politeness admission: window-ranked budget
-    round_seconds/delay with spaced logical fetch times
-    (trpoliteness.pas:320-362 -> operators/politeness.py)."""
-    from ..operators.politeness import admit
+    """TWO politeness rounds so the host REGISTRY is load-bearing: round 1
+    admits from a fresh registry (trpoliteness.pas:320-362 ->
+    operators/politeness.admit); advance_host_state folds the admitted
+    fetch times back into (host, last_access, crawl_delay); round 2 opens
+    at now=30 — inside round 1's tail — so its fetch times start at
+    greatest(last_access + delay, 30), i.e. they are wrong unless the
+    registry fold is right (TTrPolitenessManager host map,
+    trpoliteness.pas + frontier.py:316)."""
+    from ..operators.politeness import admit, advance_host_state
 
     frontier = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -357,12 +383,20 @@ def q_politeness_admit(spark, sf_dir):
             + F.regexp_extract("host", r"site(\d+)\.", 1).cast("int") % 7
         ).alias("crawl_delay"),
     )
-    admitted = admit(
+    a1 = admit(
         frontier, host_state, min_politeness=1, round_seconds=60, now=0
     )
-    return admitted.select(
-        "doc_id", "host", "host_rank", F.col("fetch_time").cast("bigint").alias("fetch_time")
+    hs2 = advance_host_state(host_state, a1)
+    f2 = frontier.join(a1.select("doc_id"), "doc_id", "left_anti")
+    a2 = admit(f2, hs2, min_politeness=1, round_seconds=60, now=30)
+    cols = lambda rnd, df: df.select(  # noqa: E731
+        F.lit(rnd).alias("round"),
+        "doc_id",
+        "host",
+        "host_rank",
+        F.col("fetch_time").cast("bigint").alias("fetch_time"),
     )
+    return cols(1, a1).unionAll(cols(2, a2))
 
 
 @_register(
@@ -376,11 +410,47 @@ def q_politeness_admit(spark, sf_dir):
     """,
 )
 def q_frontier_dedup(spark, sf_dir):
-    """Seen-set anti-join — the exact-set semantics the partitioned bloom
-    approximates at 1e-6 (trwalkers.pas:826-845; operators/seenset.py)."""
+    """URL-seen check+add through the REAL partitioned scaling-bloom set
+    (operators/seenset.py; trwalkers.pas:826-845), with the GROWTH path
+    forced: 40k synthetic volume URLs overflow each bucket's initial
+    capacity (error_rate 1e-4 -> 10k members), so the scaling chain
+    (TTrScalingBloomFilter, trbloom.pas:449-582) must append filters —
+    asserted via the bloom_scalings lineage column.  The probe is then
+    exact against the SQL anti-join oracle: blooms have no false
+    negatives, and the false-positive expectation on the 333 unseen doc
+    URLs is 333 * 1e-4 ~ 0.03 (deterministic fixture, verified
+    empirically, stable across runs)."""
+    import tempfile
+
+    from ..operators.seenset import PartitionedSeenSet
+
     docs = _t(spark, sf_dir, "documents")
-    seen = docs.where(F.col("doc_id") % 3 == 0).select("doc_id")
-    return docs.join(seen, "doc_id", "left_anti").select("doc_id", "n_chars")
+    seen = PartitionedSeenSet(
+        tempfile.mkdtemp(prefix="texrex-bloomgrow-"),
+        partitions=2,
+        error_rate=1e-4,
+    )
+    volume = spark.range(40_000).select(
+        F.concat(F.lit("http://vol.example/u"), F.col("id").cast("string")).alias(
+            "url_norm"
+        )
+    )
+    grown = seen.check_and_add(volume).agg(F.max("bloom_scalings")).collect()[0][0]
+    assert grown >= 1, "scaling bloom never grew; growth path not exercised"
+    urls = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example/p"), F.col("doc_id").cast("string"),
+        ).alias("url_norm"),
+    )
+    seen.check_and_add(urls.where(F.col("doc_id") % 3 == 0)).count()
+    return (
+        seen.probe(urls)
+        .where(~F.col("seen"))
+        .select("doc_id", "n_chars")
+    )
 
 
 @_register(
@@ -1464,8 +1534,17 @@ def q_cowinterleave(spark, sf_dir):
     """cowinterleave (trcowinterleaveapplication.pas:171-173,258-322):
     span-per-line flattening with <ci_l/>/<ci_t/> placeholders so each
     record is self-contained (shuffle-safe); media spans interleave as
-    <media .../> lines."""
-    from ..operators.export import cowinterleave
+    <media .../> lines.  The result is then routed through a cowsplit
+    round trip (cowsplit_write -> read back;
+    trcowsplitapplication.pas semantics): size-capped output files that
+    never split a document.  Both invariants are asserted here — >1 file
+    produced AND no doc_id straddles two files — so the sink is
+    driver-row-certified, and the oracle (unchanged: content equality)
+    certifies the round trip lost nothing."""
+    import os
+    import tempfile
+
+    from ..operators.export import cowinterleave, cowsplit_write
 
     docs = _t(spark, sf_dir, "documents")
     ds = F.col("doc_id").cast("string")
@@ -1485,7 +1564,26 @@ def q_cowinterleave(spark, sf_dir):
             ),
         ).alias("spans"),
     )
-    return cowinterleave(cleaned)
+    flat = cowinterleave(cleaned)
+    # Stable per-process path (NOT cleaned up here: the returned DataFrame
+    # reads it lazily and the caller collects after we return; overwrite
+    # mode keeps reruns idempotent).
+    out = os.path.join(
+        tempfile.gettempdir(), f"texrex-cowsplit-{os.getpid()}"
+    )
+    cowsplit_write(flat, out, max_records_per_file=64)
+    back = spark.read.parquet(out)
+    max_files_per_doc = (
+        back.select("doc_id", F.input_file_name().alias("f"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.max("nf"))
+        .collect()[0][0]
+    )
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert max_files_per_doc == 1, "cowsplit split a document"
+    assert n_files > 1, "cowsplit produced a single file; cap not exercised"
+    return back.select("doc_id", "offset", "line")
 
 
 @_register(
@@ -2501,8 +2599,12 @@ def _walk_order_setup():
     from ..sources import synth
 
     corpus = synth.generate(n_hosts=10, n_docs=120, seed=13, n_seeds=16)
+    # max_steps=16 makes the FIFO document cache LOAD-BEARING: this walk
+    # produces 3 http='cached' log rows (cache hits skip politeness+fetch
+    # and re-push the cached link list, trwalkers.pas:346-396,881-894), so
+    # the oracle row-for-row match certifies the cache, not just the walk.
     cfg = WalkConfig(
-        seed=13, n_walkers=3, max_steps=8, random_jump_probability=0.1,
+        seed=13, n_walkers=3, max_steps=16, random_jump_probability=0.1,
         min_politeness=2, cache_size=15,
     )
     return corpus, cfg
@@ -2537,7 +2639,8 @@ def q_crawl_order(spark, sf_dir):
     superstep crawl (operators/walker.py, applyInPandas per walker, pinned
     RNG protocol trwalkers.pas:859-997) must reproduce the sequential
     oracle's crawl log row for row — same seed list, same politeness
-    budget, same follow/jump decisions, same seen-set verdicts.  The
+    budget, same follow/jump decisions, same seen-set verdicts, same
+    FIFO document-cache hits (3 'cached' rows in this fixture).  The
     oracle side is the pure-Python reference crawl embedded as VALUES;
     tests/test_walk_parity.py additionally pins partitioning invariance
     and checkpoint resume."""
