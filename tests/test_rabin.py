@@ -120,3 +120,26 @@ def test_alphabet_compaction_paths_match_block_kernel():
     check(wide[rng.integers(0, 256, size=(200, 45))])      # cap exceeded
     assert p._pos._compact_off and p._pos._cc is None
     check(narrow[rng.integers(0, 27, size=(200, 45))])     # still correct after off
+
+
+def test_leading_zero_invariance():
+    # Rabin-64 is the remainder of the key as a GF(2) polynomial, so
+    # front-NUL padding never changes it — the property Rabin64.hash_batch
+    # relies on to pad variable-length keys to one matrix width.
+    r = Rabin64(POLYS64[3])
+    for s in [b"a", b"hello", b"abcdefgh", b"abcdefghi", b"x" * 37]:
+        for pad in (1, 5, 8, 13):
+            assert r.hash(b"\x00" * pad + s) == r.hash(s)
+
+
+def test_rabin64_hash_batch_matches_scalar():
+    r = Rabin64(POLYS64[0])
+    keys = [
+        b"", b"a", b"short", b"exactly8", b"nine-byte",
+        b"a much longer div text with some repetition " * 3,
+        b"x" * 513,  # over _BATCH_MAX_LEN -> scalar fallback inside
+        b"short",     # duplicate
+    ]
+    assert r.hash_batch(keys) == [r.hash(k) for k in keys]
+    big = [f"div text number {i}".encode() for i in range(200)]
+    assert r.hash_batch(big) == [r.hash(k) for k in big]

@@ -25,6 +25,10 @@ MATCH_URI = regex.compile(
 )
 MATCH_HASHTAG = regex.compile(r" *#[\p{L}\p{N}]*[\p{L}][\p{L}\p{N}]* *", regex.IGNORECASE)
 
+# cheap URI-gate probe: same truth value as ('://' in text or 'www.' in
+# text.lower()) but without allocating a lowercased copy of every div
+_URI_PROBE = regex.compile(r"://|www\.", regex.IGNORECASE)
+
 
 class SecondPassConfig:
     cleanse_tags = True
@@ -51,7 +55,7 @@ def cleanse(
         text, tags = MATCH_TAG.subn(" ", text)
     if cfg.cleanse_email and "@" in text:
         text, emails = MATCH_EMAIL.subn(cfg.email_replacer, text)
-    if cfg.cleanse_uri and ("://" in text or "www." in text.lower()):
+    if cfg.cleanse_uri and _URI_PROBE.search(text) is not None:
         text, uris = MATCH_URI.subn(cfg.uri_replacer, text)
     if cfg.cleanse_hashtag and "#" in text:
         text, hashtags = MATCH_HASHTAG.subn(cfg.hashtag_replacer, text)

@@ -108,6 +108,66 @@ class Rabin64:
             return _hash_matrix_bypos(mat, pos)[:, 0]
         return _hash_matrix_multi(mat, t3)[0]
 
+    # Variable-length batching exploits that Rabin-64 is the remainder of
+    # the key read as a GF(2) polynomial: LEADING zero bytes leave the
+    # remainder unchanged (the state stays 0 through them and byte 0's
+    # contribution is 0 in every position table), so keys of different
+    # lengths can be FRONT-padded with NULs to one common multiple-of-8
+    # width and pushed through the equal-length matrix kernel
+    # bit-identically (property pinned in test_rabin).
+    _BATCH_MAX_LEN = 512  # = 8 * _POS_BLOCK_CAP; beyond this, scalar per key
+
+    def _rev_postable(self, width: int) -> np.ndarray:
+        """(width, 256) uint64 contribution table indexed by REVERSED byte
+        position r: with keys front-NUL-padded to a multiple of 8 every
+        byte is a block byte, and the byte at reversed position r = 8q+s
+        undergoes exactly q block shifts in lane s — so R[r] = C[r//8,
+        r%8] is width-independent and ONE table serves every batch width
+        (grown on demand, ~2 KB per byte position)."""
+        rev = getattr(self, "_rev", None)
+        if rev is None or rev.shape[0] < width:
+            t3 = getattr(self, "_tables3", None)
+            if t3 is None:
+                t3 = self._tables3 = self.tables[None, :, :]
+            pos = getattr(self, "_pos", None)
+            if pos is None:
+                pos = self._pos = _PosTables(t3)
+            c = pos.grown(width // 8)  # (m_max+1, 8, 256, 1)
+            # reversed order within each block step is lane 7..0 mirrored:
+            # r = 8q+s uses C[q, s], and c[q] is laid out (u, 256) with
+            # u = lane index — identical, so a straight reshape works.
+            rev = np.ascontiguousarray(
+                c[: width // 8, :, :, 0].reshape(-1, 256)
+            )
+            self._rev = rev
+        return rev[:width]
+
+    def hash_batch(self, keys: list) -> list:
+        """Hash a list of byte strings of ANY lengths -> list of ints,
+        bit-identical to [self.hash(k) for k in keys] (differentially
+        tested).  Keys are front-NUL-padded to the batch maximum (leading
+        zeros never change a polynomial remainder), column-reversed, and
+        hashed as ONE numpy gather + XOR-reduce over the reversed-position
+        table; oversized keys (> 512 B, where padding waste and table
+        growth stop paying) fall back to the scalar kernel individually."""
+        n = len(keys)
+        if n == 0:
+            return []
+        lens = [len(k) for k in keys]
+        lmax = max(lens)
+        if lmax == 0:
+            return [0] * n
+        if lmax > self._BATCH_MAX_LEN:
+            return [self.hash(k) for k in keys]
+        width = lmax + (-lmax) % 8
+        rev = np.zeros((n, width), dtype=np.uint8)
+        for i, k in enumerate(keys):
+            if lens[i]:
+                rev[i, : lens[i]] = np.frombuffer(k, np.uint8)[::-1]
+        tab = self._rev_postable(width)
+        contrib = tab[np.arange(width), rev]  # (n, width) u64 gather
+        return [int(h) for h in np.bitwise_xor.reduce(contrib, axis=1)]
+
 
 # Position-table layout (the fast batch path).  Rabin-64 is GF(2)-linear
 # in the input bytes: every byte's contribution to the final state is a

@@ -144,8 +144,12 @@ def doc_id_col(url_canon: Column) -> Column:
     return F.md5(url_canon)
 
 
+@lru_cache(maxsize=8192)
 def resolve_link(base_url: str, link: str) -> str:
-    """Relative-URL resolution (trutilities.pas:430-438)."""
+    """Relative-URL resolution (trutilities.pas:430-438).  Memoized like
+    _split_host below: nav/footer links repeat on every page of a host, so
+    the stripper's link extraction re-resolves the same (base, link) pairs
+    constantly (urljoin re-parses both sides each call)."""
     try:
         return urljoin(base_url, link)
     except ValueError:
