@@ -66,6 +66,7 @@ def convert_string(s: str) -> str:
     out = []
     i = 0
     n = len(s)
+    any_converted = False
     while i < n:
         # bulk-copy the run up to the next '&' (identical to the per-char
         # copy loop; a failed hypothesis below consumes its failing char —
@@ -105,10 +106,14 @@ def convert_string(s: str) -> str:
         if converted is not None:
             out.append(converted[0])
             i = converted[1]
+            any_converted = True
         elif failed_through is not None:
             out.append(s[i : failed_through + 1])
             i = failed_through + 1
         else:  # ran off the end mid-hypothesis
             out.append(s[i:])
             i = n
-    return "".join(out)
+    # Return the ORIGINAL object when nothing converted: the scan is a
+    # pure function of the text, so an unchanged result is a fixpoint —
+    # callers (second_pass double wash) use the identity to skip a rescan.
+    return "".join(out) if any_converted else s

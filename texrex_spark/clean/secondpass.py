@@ -66,9 +66,13 @@ def second_pass(divs: list[Div], cfg: SecondPassConfig | None = None) -> None:
     cfg = cfg or SecondPassConfig()
     for d in divs:
         if d.valid:
-            d.text = convert_string(d.text)
-            if cfg.double_wash_entities:
-                d.text = convert_string(d.text)
+            washed = convert_string(d.text)
+            # double wash catches '&amp;acirc;' (trsecondpass.pas:251-253);
+            # identity return means no conversion happened, and an
+            # unconverted text is a fixpoint — the rescan is a no-op
+            if cfg.double_wash_entities and washed is not d.text:
+                washed = convert_string(washed)
+            d.text = washed
             d.text, d.cleansed_tags, d.cleansed_emails, d.cleansed_uris, \
                 d.cleansed_hashtags = cleanse(d.text, cfg)
         if d.text == "":

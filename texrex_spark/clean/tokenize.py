@@ -62,7 +62,11 @@ class TokenizerConfig:
 
 
 def tokenize_text(text: str) -> list[str]:
-    return [t.upper() for t in _TOKEN_RE.findall(text)]
+    # NOTE: upper() must stay per-token — uppercasing the whole text first
+    # would move codepoints across the range set's boundaries (e.g. U+0250
+    # 'ɐ' is outside every range but uppercases to U+2C6F 'Ɐ' inside
+    # extended C), changing token boundaries vs the reference scanner.
+    return list(map(str.upper, _TOKEN_RE.findall(text)))
 
 
 def tokenize_divs(divs: list[Div], cfg: TokenizerConfig | None = None) -> TypeTokenData:
