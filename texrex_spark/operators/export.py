@@ -200,12 +200,21 @@ def cowsplit_write(
 
     Distributed shape: per-doc record counts -> hash-salt docs into
     ``parallelism`` independent packers -> per-packer running sum packs
-    WHOLE docs greedily into file buckets of ~max_records (a doc whose
-    running start falls inside bucket b lands entirely in b, mirroring
-    the reference's finish-the-doc overflow) -> one parquet file per
-    bucket via ``partitionBy("_part")``.  The window sort is per salt
-    group (~n_docs/parallelism rows), never global; the reference's
-    single sequential writer is the ``parallelism=1`` special case."""
+    WHOLE docs into file buckets of ~max_records (a doc whose running
+    start falls inside bucket b lands entirely in b) -> one parquet file
+    per bucket via ``partitionBy("_part")``.  The window sort is per salt
+    group (~n_docs/parallelism rows), never global.
+
+    Parity note: the reference's sequential writer resets its line
+    counter on every roll (trcowsplitapplication.pas:227,251-253), so
+    after an overflow its next file starts counting from 0, while
+    offset-bucketing charges the overflow against the next bucket's
+    budget.  Both satisfy the same contract — no document straddles
+    files, and a file exceeds the cap only by the tail of the document
+    that finishes it (asserted in tests/test_config_cli.py and the
+    q_cowinterleave driver row) — but exact file boundaries can differ
+    after an oversized document; counter-reset packing is inherently
+    sequential and would serialize the sink."""
     counts = df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     counts = counts.withColumn(
         "_salt",
