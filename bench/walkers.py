@@ -59,7 +59,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "12g")
+        .config(
+            "spark.driver.memory", os.environ.get("WALKER_DRIVER_MEM", "28g")
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -56,33 +56,53 @@ EMITTED_TABLE_SCHEMA = (
 
 
 def _advance(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: deliver the round's fetch result, walk to the
-    next fetch boundary, and drain logs/emissions."""
-    st = WalkerState.loads(pdf["state"].iloc[0])
-    if st.pending is not None:
-        found = bool(pdf["found"].iloc[0]) if pd.notna(pdf["found"].iloc[0]) else False
-        valid = bool(pdf["valid"].iloc[0]) if pd.notna(pdf["valid"].iloc[0]) else False
-        links_json = pdf["links_json"].iloc[0]
-        links = [
-            (l["url"], l["relation"]) for l in json.loads(links_json)
-        ] if isinstance(links_json, str) and links_json else []
-        doc_id = pdf["doc_id"].iloc[0] if pd.notna(pdf["doc_id"].iloc[0]) else ""
-        st.deliver_fetch(found=found, valid=valid, links=links, doc_id=doc_id)
-    url = st.run_until_fetch()
-    log_rows = [vars(r) for r in st.drain_log()]
-    emitted = [
-        {"seq": seq, "url": u, "doc_id": did} for (seq, u, did) in st.drain_emitted()
-    ]
-    return pd.DataFrame(
-        {
-            "walker_id": [st.walker_id],
-            "state": [st.dumps()],
-            "fetch_url": [url],
-            "done": [st.done],
-            "log_json": [json.dumps(log_rows)],
-            "emitted_json": [json.dumps(emitted)],
-        }
-    )
+    """Grouped-map kernel over a BUCKET of walkers: for each walker row,
+    deliver the round's fetch result, walk to the next fetch boundary, and
+    drain logs/emissions.
+
+    Grouping is by ``walker_id % n_buckets``, not by walker_id: one pandas
+    frame per walker costs a fixed per-group Arrow/pandas toll that makes
+    round wall time grow with K instead of with work (measured 27x the
+    round time for 10x the walkers at K=10,000 before bucketing).  Each
+    walker is still advanced independently from its own pickled state, so
+    the result is row-identical for any bucket count (test_walk_parity
+    pins partition invariance; q_crawl_order pins the sequential oracle)."""
+    cols = {
+        "walker_id": [], "state": [], "fetch_url": [], "done": [],
+        "log_json": [], "emitted_json": [],
+    }
+    advanced: set = set()
+    for row in pdf.itertuples(index=False):
+        if row.walker_id in advanced:
+            # one advance per walker per round (the old per-walker group
+            # collapsed duplicate fetch-join rows with iloc[0])
+            continue
+        advanced.add(row.walker_id)
+        st = WalkerState.loads(row.state)
+        if st.pending is not None:
+            links_json = row.links_json
+            links = [
+                (l["url"], l["relation"]) for l in json.loads(links_json)
+            ] if isinstance(links_json, str) and links_json else []
+            st.deliver_fetch(
+                found=bool(row.found) if pd.notna(row.found) else False,
+                valid=bool(row.valid) if pd.notna(row.valid) else False,
+                links=links,
+                doc_id=row.doc_id if pd.notna(row.doc_id) else "",
+            )
+        url = st.run_until_fetch()
+        log_rows = [vars(r) for r in st.drain_log()]
+        emitted = [
+            {"seq": seq, "url": u, "doc_id": did}
+            for (seq, u, did) in st.drain_emitted()
+        ]
+        cols["walker_id"].append(st.walker_id)
+        cols["state"].append(st.dumps())
+        cols["fetch_url"].append(url)
+        cols["done"].append(st.done)
+        cols["log_json"].append(json.dumps(log_rows))
+        cols["emitted_json"].append(json.dumps(emitted))
+    return pd.DataFrame(cols)
 
 
 @dataclass
@@ -223,7 +243,21 @@ class SparkCrawl:
             inp = states.join(fetched, "walker_id", "left").select(
                 "walker_id", "state", "found", "valid", "links_json", "doc_id"
             )
-            out = inp.groupBy("walker_id").applyInPandas(_advance, ADVANCE_SCHEMA)
+            # Bucketed advance: ~4 groups per core, NOT one group per
+            # walker — per-group Arrow overhead at K groups made round
+            # time scale with K (see _advance docstring).  Bucket count is
+            # capped at K so tiny fleets keep one walker per group.
+            n_buckets = min(
+                self.config.n_walkers,
+                4 * self.spark.sparkContext.defaultParallelism,
+            )
+            out = (
+                inp.withColumn(
+                    "_bucket", F.pmod(F.col("walker_id"), F.lit(n_buckets))
+                )
+                .groupBy("_bucket")
+                .applyInPandas(_advance, ADVANCE_SCHEMA)
+            )
 
             if parquet_mode:
                 states = self._write_round_states(out, rnd + 1)
