@@ -248,7 +248,11 @@ def main() -> None:
     # regenerated part is only the header + current-window + machine-ceiling
     # + controls block; everything after (data-scaling table, history, ...)
     # is curated and must survive a rerun.
-    markers = ("## Data scaling", "## Cross-session measurement history")
+    markers = (
+        "## Amdahl decomposition",
+        "## Data scaling",
+        "## Cross-session measurement history",
+    )
     marker = "## Cross-session measurement history"
     if os.path.exists(bench_path):
         with open(bench_path) as f:
