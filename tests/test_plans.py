@@ -41,9 +41,19 @@ def test_neardup_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin BuildRight" in plan
 
 
-def test_frontier_dedup_anti_join(spark, sf_dir):
+def test_frontier_dedup_bloom_probe(spark, sf_dir):
+    # q_frontier_dedup routes dedup through the partitioned scaling-bloom
+    # seen set (cf3d58c): membership is a MapInPandas probe over url-hash
+    # buckets plus a `seen` filter — no join at all, which is the point:
+    # at 10^10 URLs this replaces the anti-join's full-frontier shuffle
+    # with a bitmap probe shuffled only on the bucket key.
     plan = _plan(QUERIES["q_frontier_dedup"](spark, sf_dir))
-    assert "LeftAnti" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # the final projection prunes the probe's lineage columns and the
+    # synthetic url back down to the two output columns
+    assert "Filter (isnotnull(seen" in plan
 
 
 def test_robots_gate_broadcast(spark, sf_dir):
