@@ -94,6 +94,9 @@ def run_config(cores: int) -> dict:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", DRIVER_MEM)
         .config("spark.ui.enabled", "false")
+        # a crashed Python worker (seen once: 32M at local[2], no
+        # traceback) should report WHERE it died, not just that it died
+        .config("spark.python.worker.faulthandler.enabled", "true")
         # tmpfs shuffle dir: the sandbox has one shared disk whose fixed
         # bandwidth would otherwise be the Amdahl term between N and 4N
         # cores (a real cluster stripes shuffle over per-node NVMe)
@@ -220,7 +223,9 @@ def main() -> None:
             capture_output=True,
             text=True,
             cwd=REPO,
-            timeout=3600,
+            # giant inputs at small core counts (32M at local[2]) spend
+            # ~40 min on warmup + 3 runs before gate waits; 1h was tight
+            timeout=7200,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
