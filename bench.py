@@ -205,6 +205,20 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
     elif codec == "png":
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = mm.encode_png(img), "image/png"
+    elif codec == "webp":
+        from texrex_spark.operators.webp import encode_webp
+
+        yy = np.linspace(0, 4 * np.pi, h)[:, None]
+        xx = np.linspace(0, 4 * np.pi, w)[None, :]
+        base = 128 + 90 * np.sin(yy + float(rng.uniform(0, np.pi))) * np.cos(xx)
+        img = np.clip(
+            np.stack([base, np.roll(base, 3, 0), np.roll(base, 3, 1)], -1),
+            0, 255,
+        ).astype(np.uint8)
+        payload = encode_webp(
+            img, palette=False, subtract_green=True, use_lz77=True
+        )
+        mime = "image/webp"
     elif codec in ("jpeg", "jpeg_progressive"):
         from texrex_spark.operators.jpeg import (
             encode_jpeg,
@@ -234,7 +248,7 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
 MEDIA_CODECS = [
     ("pgm", 4096), ("ppm", 4096), ("bmp", 4096), ("png", 2048),
     ("jpeg", 1024), ("jpeg_progressive", 512), ("gif", 2048),
-    ("wav", 4096), ("mp4", 256),
+    ("webp", 512), ("wav", 4096), ("mp4", 256),
 ]
 
 

@@ -21,6 +21,7 @@ from texrex_spark.operators.gif import (
     encode_gif_frames,
 )
 from texrex_spark.operators.mp4 import encode_mjpeg_mp4, parse_mp4
+from texrex_spark.operators.webp import decode_webp, encode_webp
 
 OK = (ValueError, NotImplementedError)
 
@@ -47,6 +48,14 @@ def _payloads():
         "pnm-stream": (mm.encode_pnm_stream(frames), mm.decode_pnm_stream),
         "gif": (encode_gif(img), decode_gif),
         "gif-anim": (encode_gif_frames(frames, delay_cs=4), decode_gif),
+        "webp": (
+            encode_webp(img, palette=False, use_lz77=True, cache_bits=4),
+            decode_webp,
+        ),
+        "webp-pal": (
+            encode_webp((gray // 32 * 32), palette=True),
+            decode_webp,
+        ),
     }
 
 

@@ -103,6 +103,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/png",
         "image/jpeg",
         "image/gif",
+        "image/webp",
         "audio/wav",
         "video/mp4",
     }

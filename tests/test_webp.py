@@ -1,0 +1,257 @@
+"""WebP lossless (VP8L) codec: spec pins + exact roundtrips.
+
+The distance neighbor map and the predictor/color-transform arithmetic
+are pinned against hand-evaluated values from the public spec (RFC
+9649), independent of the implementation, so an encoder/decoder pair
+that merely agrees with itself cannot pass."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from texrex_spark.operators.webp import (
+    MAX_PIXELS,
+    PLANE_CODES,
+    WebpError,
+    _BitWriter,
+    _clamp_full,
+    _clamp_half,
+    _plane_to_dist,
+    _prefix_sym,
+    _prefix_val,
+    _Bits,
+    _select,
+    decode_webp,
+    encode_webp,
+)
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------- spec pins
+def test_plane_code_table_matches_spec():
+    """Head of the 120-entry (dx, dy) map, literal from RFC 9649."""
+    spec_head = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    ]
+    assert PLANE_CODES[:24] == spec_head
+    assert len(PLANE_CODES) == 120
+    assert len(set(PLANE_CODES)) == 120
+    assert PLANE_CODES[34] == (0, 5)  # start of the d^2=25 tie group
+    assert PLANE_CODES[96] == (8, 0)  # the only dx=8, dy=0 entry
+    assert PLANE_CODES[119] == (8, 7)
+
+
+def test_plane_to_dist():
+    assert _plane_to_dist(1, 10) == 10  # (0,1) one row up
+    assert _plane_to_dist(2, 10) == 1  # (1,0) previous pixel
+    assert _plane_to_dist(4, 10) == 9  # (-1,1)
+    assert _plane_to_dist(121, 10) == 1  # beyond the map: code-120
+    assert _plane_to_dist(4, 1) == 1  # (-1,1) at w=1 clamps to 1
+
+
+def test_lz77_prefix_coding_roundtrip():
+    """Spec examples plus an exhaustive low range and spot checks."""
+    # sym < 4 encodes value sym+1 with no extra bits
+    assert _prefix_sym(1) == (0, 0, 0)
+    assert _prefix_sym(4) == (3, 0, 0)
+    assert _prefix_sym(5) == (4, 1, 0)
+    for v in list(range(1, 5000)) + [2 ** 16, 2 ** 20 - 7, 2 ** 20]:
+        sym, ebits, extra = _prefix_sym(v)
+        assert sym < 40 and extra < (1 << ebits if ebits else 1)
+        bw = _BitWriter()
+        bw.write(extra, ebits)
+        br = _Bits(bw.getvalue() + b"\x00\x00\x00")
+        assert _prefix_val(br, sym) == v
+
+
+def test_select_predictor_spec_values():
+    # L=(255,40,0,10), T=(255,42,0,12), TL=(255,41,0,11) as ARGB ints:
+    # estimate L+T-TL; |est-L| = |T-TL| per channel = 1+0+1 = 2,
+    # |est-T| = |L-TL| = 1+0+1 = 2 -> tie goes to T (pL < pT is false)
+    L = (255 << 24) | (40 << 16) | (0 << 8) | 10
+    T = (255 << 24) | (42 << 16) | (0 << 8) | 12
+    TL = (255 << 24) | (41 << 16) | (0 << 8) | 11
+    assert _select(L, T, TL) == T
+    # make L strictly closer: TL == T so pL = 0
+    assert _select(L, T, T) == L
+
+
+def test_clamp_add_subtract_spec_values():
+    px = lambda a, r, g, b: (a << 24) | (r << 16) | (g << 8) | b
+    # full: per channel clamp(L + T - TL)
+    out = _clamp_full(px(255, 250, 10, 0), px(255, 20, 10, 0), px(255, 5, 15, 200))
+    assert out == px(255, 255, 5, 0)  # 265 clamps to 255, 5, -200 to 0
+    # half: a = avg2(L, T) per channel, then clamp(a + (a - TL)/2) with
+    # C-truncating division
+    out = _clamp_half(px(255, 100, 0, 0), px(255, 102, 0, 0), px(255, 104, 0, 0))
+    # avg=101, d=-3, trunc(-3/2)=-1 -> 100
+    assert (out >> 16) & 0xFF == 100
+
+
+def test_color_transform_delta_semantics():
+    """g2r=0x80 is int8 -128; green=0xff is int8 -1; the delta is
+    ((-128 * -1) >> 5) = 4 added to red mod 256."""
+    img = np.zeros((1, 1, 3), np.uint8)
+    img[0, 0] = [10, 255, 20]  # r, g, b
+    p = encode_webp(
+        img, palette=False, subtract_green=False, color_transform=(0x80, 0, 0)
+    )
+    assert (decode_webp(p)[0, 0, :3] == [10, 255, 20]).all()
+
+
+# ---------------------------------------------------------- roundtrips
+def _check(img, **opts):
+    out = decode_webp(encode_webp(img, **opts))
+    if img.ndim == 2:
+        assert all((out[..., c] == img).all() for c in range(3))
+        assert (out[..., 3] == 255).all()
+    elif img.shape[2] == 3:
+        assert (out[..., :3] == img).all() and (out[..., 3] == 255).all()
+    else:
+        assert (out == img).all()
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_roundtrip_every_predictor_mode(mode):
+    _check(_rng(mode).integers(0, 256, (13, 17, 3), np.uint8),
+           palette=False, predictor=mode)
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(subtract_green=False, use_lz77=False, palette=False),
+        dict(subtract_green=True, use_lz77=True, palette=False),
+        dict(subtract_green=True, use_lz77=True, cache_bits=4, palette=False),
+        dict(palette=False, use_meta=True),
+        dict(palette=False, color_transform=(10, -20, 3)),
+        dict(palette=False, color_transform=(-128, 127, -1)),
+        dict(palette=False, predictor=11, color_transform=(-5, 5, 120),
+             subtract_green=True, use_lz77=True, cache_bits=5, use_meta=True),
+    ],
+)
+def test_roundtrip_rgba(opts):
+    rng = _rng(11)
+    img = rng.integers(0, 256, (13, 17, 4), np.uint8)
+    _check(img, **opts)
+    _check(rng.integers(0, 256, (9, 40), np.uint8), **opts)  # gray input
+
+
+@pytest.mark.parametrize("n_colors", [1, 2, 4, 16, 200])
+def test_roundtrip_palette_packing_widths(n_colors):
+    """Every sub-byte packing width (8/4/2 px per byte + unpacked)."""
+    rng = _rng(n_colors)
+    img = (rng.integers(0, n_colors, (21, 19), np.uint8)
+           * (255 // max(n_colors - 1, 1))).astype(np.uint8)
+    _check(img, palette=True)
+    _check(img, palette=True, use_lz77=True, cache_bits=3)
+
+
+def test_roundtrip_edge_shapes():
+    rng = _rng(2)
+    _check(np.array([[[1, 2, 3]]], np.uint8), palette=False)  # 1x1
+    _check(rng.integers(0, 256, (1, 130, 3), np.uint8), palette=False,
+           predictor=5)  # single row exercises top-row L fallback
+    _check(rng.integers(0, 256, (130, 1, 3), np.uint8), palette=False,
+           predictor=12)  # single column exercises left-column T fallback
+    _check(np.full((40, 40, 3), 9, np.uint8))  # solid: one long backref
+
+
+def test_two_symbol_simple_code_path():
+    """A two-value image without palette forces 2-symbol simple codes."""
+    rng = _rng(3)
+    img = (rng.integers(0, 2, (16, 16), np.uint8) * 200).astype(np.uint8)
+    _check(img, palette=False, subtract_green=False, use_lz77=False)
+
+
+def test_auto_palette_engages():
+    img = (_rng(4).integers(0, 6, (32, 32), np.uint8) * 40).astype(np.uint8)
+    auto = encode_webp(img)  # default palette="auto"
+    off = encode_webp(img, palette=False, subtract_green=False)
+    assert len(auto) < len(off)
+    _check(img)
+
+
+# ------------------------------------------------------------- hardening
+def test_bad_container_rejected():
+    with pytest.raises(WebpError):
+        decode_webp(b"RIFX" + b"\x00" * 30)
+    with pytest.raises(WebpError):
+        decode_webp(b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"\x00" * 12)
+    with pytest.raises(WebpError):  # chunk overruns file
+        decode_webp(
+            b"RIFF" + struct.pack("<I", 100) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", 1000) + b"\x2f" * 8
+        )
+
+
+def test_lossy_vp8_is_honest_stub():
+    payload = (
+        b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_webp(payload)
+
+
+def test_dimension_bomb_rejected_before_allocation():
+    """A 16384x16384 claim (1 GiB RGBA) must die on the MAX_PIXELS cap,
+    not allocate."""
+    bw = _BitWriter()
+    bw.write(16383, 14)
+    bw.write(16383, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    vp8l = b"\x2f" + bw.getvalue() + b"\x00" * 8
+    payload = (
+        b"RIFF" + struct.pack("<I", 12 + len(vp8l)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    )
+    assert 16384 * 16384 > MAX_PIXELS
+    with pytest.raises(WebpError, match="too large"):
+        decode_webp(payload)
+
+
+def test_bad_version_and_signature():
+    bw = _BitWriter()
+    bw.write(0, 14)
+    bw.write(0, 14)
+    bw.write(0, 1)
+    bw.write(5, 3)  # version must be 0
+    vp8l = b"\x2f" + bw.getvalue() + b"\x00" * 4
+    payload = (
+        b"RIFF" + struct.pack("<I", 12 + len(vp8l)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    )
+    with pytest.raises(WebpError, match="version"):
+        decode_webp(payload)
+    bad_sig = payload.replace(b"\x2f", b"\x30", 1)
+    with pytest.raises(WebpError, match="signature"):
+        decode_webp(bad_sig)
+
+
+def test_encoder_input_contract():
+    with pytest.raises(ValueError):
+        encode_webp(np.zeros((1, 16385, 3), np.uint8))
+    with pytest.raises(ValueError):
+        encode_webp(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        encode_webp(np.zeros((4, 4, 3), np.uint8), cache_bits=12)
+    with pytest.raises(ValueError):
+        encode_webp(
+            _rng(9).integers(0, 256, (32, 32, 3), np.uint8), palette=True
+        )
+
+
+def test_truncation_never_escapes():
+    payload = encode_webp(_rng(5).integers(0, 256, (24, 32, 3), np.uint8),
+                          palette=False, use_lz77=True, cache_bits=4)
+    for cut in range(0, len(payload), max(len(payload) // 60, 1)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_webp(payload[:cut])

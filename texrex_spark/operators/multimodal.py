@@ -17,14 +17,17 @@ Decode support is tiered by what the container allows:
   compositing (operators/gif.py), and 8/16-bit PCM WAV (stdlib
   ``wave``).  These are genuine byte-level codecs with encode
   round-trips, so the decode -> feature -> resize -> re-encode pipeline
-  is real end to end, covering the three most common compressed web
-  image formats.  Video:
+  is real end to end, covering the four most common compressed web
+  image formats (PNG, JPEG, GIF, and lossless WebP — the full VP8L
+  feature set: all four transforms, LZ77 over the 120-entry distance
+  map, color cache, meta prefix codes; operators/webp.py).  Video:
   MJPEG-in-MP4 — a full ISO BMFF box/sample-table parser + writer
   (operators/mp4.py) over the baseline JPEG codec — and concatenated-PPM
   streams, both driving the ``sample_frames`` frame-sampling stage.
 - **Stub** for the remaining compressed tier (arithmetic-coded/lossless
-  JPEG and inter-frame video codecs like H.264 need PIL/av, absent
-  here): ``decode`` raises ``NotImplementedError`` for their mimes, and
+  JPEG, lossy VP8 WebP, and inter-frame video codecs like H.264 need
+  PIL/av/libwebp, absent here): ``decode`` raises
+  ``NotImplementedError`` for their mimes, and
   the deterministic ``image/fake`` payload keeps distribution tests
   hermetic.
 
@@ -364,6 +367,10 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
         from .gif import decode_gif
 
         return _to_luma(decode_gif(payload))
+    if mime == "image/webp":
+        from .webp import decode_webp
+
+        return _to_luma(decode_webp(payload))
     if mime == "image/fake":
         return decode_stub(payload, meta)
     raise NotImplementedError(
@@ -439,12 +446,39 @@ def feature_row(ref: str, payload: bytes, meta: dict) -> dict:
 
 def synth_real_media_row(ref: str) -> dict:
     """Deterministic REAL-format payload for a ref: cycles PGM / PPM /
-    BMP / PNG / JPEG / WAV by ref hash, every byte produced by the
-    matching encoder, so the decode tier is exercised end to end with no
-    codec libraries."""
+    BMP / PNG / JPEG / GIF / WebP / WAV / MJPEG-MP4 by ref hash, every
+    byte produced by the matching encoder, so the decode tier is
+    exercised end to end with no codec libraries."""
     seed = hashlib.md5(ref.encode()).digest()
     rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-    pick = seed[8] % 7
+    pick = seed[8] % 8
+    if pick == 7:
+        from .webp import encode_webp
+
+        w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+        if seed[9] % 2 == 0:
+            # limited palette: the color-indexing + packing path
+            pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+            img = pal[rng.integers(0, 8, (h, w))]
+            payload = encode_webp(img, palette=True, use_lz77=True)
+        else:
+            # smooth gradient: literal path with subtract-green + LZ77
+            yy = np.linspace(0, 3 * np.pi, h)[:, None]
+            xx = np.linspace(0, 3 * np.pi, w)[None, :]
+            base = 128 + 100 * np.sin(yy) * np.cos(xx * rng.uniform(0.5, 1.5))
+            img = np.clip(
+                np.stack([base, np.roll(base, 2, 0), np.roll(base, 2, 1)], -1),
+                0, 255,
+            ).astype(np.uint8)
+            payload = encode_webp(
+                img, palette=False, subtract_green=True, use_lz77=True,
+                cache_bits=6,
+            )
+        return {
+            "media_ref": ref, "kind": "image", "payload": payload,
+            "meta": {"width": w, "height": h, "duration_ms": 0,
+                     "mime": "image/webp"},
+        }
     if pick == 6:
         from .mp4 import encode_mjpeg_mp4
 
@@ -658,6 +692,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     from .gif import decode_gif, encode_gif
 
                     img, enc = decode_gif(payload), encode_gif
+                elif mime == "image/webp":
+                    from .webp import decode_webp, encode_webp
+
+                    img, enc = decode_webp(payload), encode_webp
                 else:
                     continue  # audio / video: passed through elsewhere
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)

@@ -2377,6 +2377,20 @@ def q_seen_cuckoo(spark, sf_dir):
     return seen.probe(urls).select("doc_id", "url_norm", "seen")
 
 
+def _round4(x: float) -> float:
+    """Round to 4 places the way Spark's F.round does: HALF_UP on the
+    shortest decimal representation of the double (Python's built-in
+    round is half-even on the binary value, which diverges on exact
+    .xxxx5 boundaries — e.g. a mean of 127.19375)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _media_feature_rows():
     from ..operators.multimodal import feature_row, synth_media_row
 
@@ -2390,8 +2404,8 @@ def _media_feature_rows():
                 m["media_ref"],
                 f["width"],
                 f["height"],
-                round(f["mean_intensity"], 4),
-                round(f["std_intensity"], 4),
+                _round4(f["mean_intensity"]),
+                _round4(f["std_intensity"]),
                 int(f["phash"]),
             )
         )
@@ -2455,29 +2469,30 @@ def _real_media_rows():
     from ..operators.multimodal import video_feature_row
 
     rows = []
-    # prefix "m/": md5-hash picks over m/0..m/15 hit ALL EIGHT codec
-    # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WAV, MJPEG-MP4) — asserted
-    # below so a synth change can't silently drop a format from the oracle
-    for k in range(16):
+    # prefix "m/": md5-hash picks over m/0..m/31 hit ALL NINE codec
+    # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WebP, WAV, MJPEG-MP4) —
+    # asserted below so a synth change can't silently drop a format from
+    # the oracle
+    for k in range(32):
         m = synth_real_media_row(f"m/{k}")
         if m["kind"] == "audio":
             a = audio_feature_row(m["media_ref"], m["payload"])
             rows.append((k, m["media_ref"], m["meta"]["mime"], "audio",
-                         a["n_samples"], a["channels"], round(a["rms"], 4)))
+                         a["n_samples"], a["channels"], _round4(a["rms"])))
         elif m["kind"] == "video":
             v = video_feature_row(m["media_ref"], m["payload"])
             rows.append((k, m["media_ref"], m["meta"]["mime"], "video",
                          v["n_frames"], v["width"],
-                         round(v["mean_intensity"], 4)))
+                         _round4(v["mean_intensity"])))
         else:
             f = feature_row(m["media_ref"], m["payload"], m["meta"])
             rows.append((k, m["media_ref"], m["meta"]["mime"], "image",
                          f["width"], f["height"],
-                         round(f["mean_intensity"], 4)))
+                         _round4(f["mean_intensity"])))
     assert {r[2] for r in rows} == {
         "image/x-portable-graymap", "image/x-portable-pixmap",
         "image/bmp", "image/png", "image/jpeg", "image/gif",
-        "audio/wav", "video/mp4",
+        "image/webp", "audio/wav", "video/mp4",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
@@ -2491,18 +2506,19 @@ def _real_media_rows():
         _real_media_rows(),
         ["tpl", "media_ref", "mime", "kind", "dim_a", "dim_b", "stat"],
     )}
-      ON d.doc_id % 16 = e.tpl
+      ON d.doc_id % 32 = e.tpl
     """,
 )
 def q_media_decode(spark, sf_dir):
     """REAL byte-level codecs (pure numpy/stdlib, multimodal.py): PGM,
     PPM, uncompressed 24-bit BMP, and PCM WAV payloads synthesized by the
     matching encoders, decoded and featured through the distributed
-    mapInPandas path, vs the local-kernel snapshot — plus the two
+    mapInPandas path, vs the local-kernel snapshot — plus the four
     pure-stdlib compressed codecs (PNG, operators/multimodal.py; JPEG —
-    baseline incl. 4:2:0 AND progressive SOF2, operators/jpeg.py) and
-    MJPEG-in-MP4 video (full ISO BMFF sample-table parse +
-    every-2nd-frame decode, operators/mp4.py).  Images report (width,
+    baseline incl. 4:2:0 AND progressive SOF2, operators/jpeg.py; GIF,
+    operators/gif.py; lossless VP8L WebP — transforms, LZ77, color
+    cache, operators/webp.py) and MJPEG-in-MP4 video (full ISO BMFF
+    sample-table parse + every-2nd-frame decode, operators/mp4.py).  Images report (width,
     height, mean luma); audio (n_samples, channels, RMS); video
     (n_frames, width, mean sampled luma).  Inter-frame video codecs stay
     NotImplementedError — their libraries are not in this container."""
@@ -2512,7 +2528,7 @@ def q_media_decode(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 16).cast("string"))
+    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 32).cast("string"))
     spans = docs.select(
         "doc_id",
         F.array(
