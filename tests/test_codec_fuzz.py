@@ -21,7 +21,11 @@ from texrex_spark.operators.gif import (
     encode_gif_frames,
 )
 from texrex_spark.operators.mp4 import encode_mjpeg_mp4, parse_mp4
-from texrex_spark.operators.webp import decode_webp, encode_webp
+from texrex_spark.operators.webp import (
+    decode_webp,
+    encode_webp,
+    encode_webp_frames,
+)
 
 OK = (ValueError, NotImplementedError)
 
@@ -54,6 +58,10 @@ def _payloads():
         ),
         "webp-pal": (
             encode_webp((gray // 32 * 32), palette=True),
+            decode_webp,
+        ),
+        "webp-anim": (
+            encode_webp_frames(frames, duration_ms=4, blend=[False] * 3),
             decode_webp,
         ),
     }

@@ -255,3 +255,82 @@ def test_truncation_never_escapes():
     for cut in range(0, len(payload), max(len(payload) // 60, 1)):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_webp(payload[:cut])
+
+
+# ------------------------------------------------------------- animation
+def test_animation_roundtrip_full_canvas():
+    from texrex_spark.operators.webp import decode_webp_frames, encode_webp_frames
+
+    rng = _rng(9)
+    frames = [rng.integers(0, 256, (20, 24, 3), np.uint8) for _ in range(3)]
+    p = encode_webp_frames(frames, duration_ms=40, blend=[False] * 3)
+    got = decode_webp_frames(p)
+    assert [n for n, _, _ in got] == [0, 1, 2]
+    assert all(d == 40 for _, d, _ in got)
+    for (_, _, canvas), f in zip(got, frames):
+        assert (canvas[..., :3] == f).all() and (canvas[..., 3] == 255).all()
+    # the still decoder composites exactly frame 0
+    assert (decode_webp(p)[..., :3] == frames[0]).all()
+    # every_k / max_frames mirror gif.decode_gif_frames
+    assert [n for n, _, _ in decode_webp_frames(p, every_k=2)] == [0, 2]
+    assert len(decode_webp_frames(p, max_frames=1)) == 1
+
+
+def test_animation_subrect_blend_and_dispose():
+    """A patch frame overwrites only its rectangle; disposal 1 then
+    restores that rectangle to the ANIM background color."""
+    from texrex_spark.operators.webp import decode_webp_frames, encode_webp_frames
+
+    rng = _rng(10)
+    base = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    patch = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    last = rng.integers(0, 256, (2, 2, 3), np.uint8)
+    p = encode_webp_frames(
+        [base, patch, last],
+        offsets=[(0, 0), (2, 4), (0, 0)],
+        canvas=(16, 16),
+        blend=[False, False, False],
+        dispose=[False, True, False],
+        background=(9, 8, 7, 255),
+    )
+    f0, f1, f2 = decode_webp_frames(p)
+    assert (f0[2][..., :3] == base).all()
+    assert (f1[2][4:12, 2:10, :3] == patch).all()
+    assert (f1[2][0:4, :, :3] == base[0:4, :]).all()  # outside rect untouched
+    # frame 2 sees the disposed rect filled with the ANIM background
+    assert (f2[2][4:12, 4:10] == np.array([9, 8, 7, 255], np.uint8)).all()
+
+
+def test_animation_alpha_blend_semantics():
+    """Blend method 0: a half-transparent red frame over opaque blue via
+    the container-spec src-over formula."""
+    from texrex_spark.operators.webp import decode_webp_frames, encode_webp_frames
+
+    blue = np.zeros((4, 4, 4), np.uint8)
+    blue[...] = (0, 0, 255, 255)
+    red = np.zeros((4, 4, 4), np.uint8)
+    red[...] = (255, 0, 0, 128)
+    p = encode_webp_frames([blue, red], blend=[False, True])
+    _, f1 = decode_webp_frames(p)
+    px = f1[2][0, 0]
+    # a_out*255 = 128*255 + 255*127 = 65025, i.e. semi-transparent over
+    # opaque composites back to fully opaque; r = 255*128*255 // (a_out*255)
+    ao255 = 128 * 255 + 255 * 127
+    assert px[3] == ao255 // 255 == 255
+    assert px[0] == (255 * 128 * 255) // ao255
+    assert px[2] == (255 * 255 * 127) // ao255
+
+
+def test_animation_malformed_rejected():
+    from texrex_spark.operators.webp import encode_webp_frames
+
+    rng = _rng(11)
+    frames = [rng.integers(0, 256, (8, 8, 3), np.uint8) for _ in range(2)]
+    with pytest.raises(ValueError):  # odd offsets are unrepresentable
+        encode_webp_frames(frames, offsets=[(0, 0), (1, 0)], canvas=(9, 8))
+    with pytest.raises(ValueError):  # rect outside canvas
+        encode_webp_frames(frames, offsets=[(0, 0), (4, 0)], canvas=(8, 8))
+    p = encode_webp_frames(frames, blend=[False, False])
+    for cut in range(12, len(p), max(len(p) // 40, 1)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_webp(p[:cut])

@@ -20,7 +20,8 @@ Decode support is tiered by what the container allows:
   is real end to end, covering the four most common compressed web
   image formats (PNG, JPEG, GIF, and lossless WebP — the full VP8L
   feature set: all four transforms, LZ77 over the 120-entry distance
-  map, color cache, meta prefix codes; operators/webp.py).  Video:
+  map, color cache, meta prefix codes, plus VP8X/ANMF animation with
+  blend/dispose compositing; operators/webp.py).  Video:
   MJPEG-in-MP4 — a full ISO BMFF box/sample-table parser + writer
   (operators/mp4.py) over the baseline JPEG codec — and concatenated-PPM
   streams, both driving the ``sample_frames`` frame-sampling stage.

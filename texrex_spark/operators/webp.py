@@ -19,6 +19,13 @@ emits real VP8L streams over the same feature set (single-mode
 transform blocks, dist-1 run LZ77, optional color cache / meta groups)
 so every decoder path round-trips without external libraries.
 
+Animation: the extended container (VP8X + ANIM + ANMF) decodes and
+encodes too — per-frame rectangles, alpha-blend vs overwrite, and
+dispose-to-background compositing (decode_webp_frames /
+encode_webp_frames, the twins of gif.decode_gif_frames /
+encode_gif_frames); decode_webp on an animation composites only frame
+0 (the gif.py early-stop lesson).
+
 Stub: lossy WebP (a ``VP8 `` chunk) raises NotImplementedError — the
 DCT tier needs libwebp; a production deployment swaps it in behind the
 same ``decode_webp(payload)`` signature.
@@ -739,29 +746,8 @@ def _decode_image_stream(
     return argb
 
 
-def decode_webp_argb(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """RIFF/WEBP payload -> (flat uint32 ARGB, width, height)."""
-    payload = bytes(payload)
-    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise WebpError("not a RIFF/WEBP payload")
-    pos = 12
-    vp8l = None
-    while pos + 8 <= len(payload):
-        tag = payload[pos:pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        end = pos + 8 + size
-        if end > len(payload):
-            raise WebpError("WEBP chunk overruns file")
-        if tag == b"VP8L":
-            vp8l = payload[pos + 8:end]
-            break
-        if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) needs libwebp; only VP8L decodes here"
-            )
-        pos = end + (size & 1)
-    if vp8l is None:
-        raise WebpError("no VP8L chunk in WEBP container")
+def _decode_vp8l(vp8l: bytes) -> tuple[np.ndarray, int, int]:
+    """One VP8L bitstream (chunk payload) -> (flat uint32 ARGB, w, h)."""
     if not vp8l or vp8l[0] != 0x2F:
         raise WebpError("bad VP8L signature byte")
     br = _Bits(vp8l, 1)
@@ -775,9 +761,129 @@ def decode_webp_argb(payload: bytes) -> tuple[np.ndarray, int, int]:
     return _decode_image_stream(br, w, h, True), w, h
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """RIFF/WEBP lossless payload -> (h, w, 4) RGBA uint8."""
-    argb, w, h = decode_webp_argb(payload)
+def _walk_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, payload) over a RIFF chunk run, bounds-checked."""
+    while pos + 8 <= end:
+        tag = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body_end = pos + 8 + size
+        if body_end > end:
+            raise WebpError("WEBP chunk overruns file")
+        yield tag, data[pos + 8:body_end]
+        pos = body_end + (size & 1)
+
+
+def _parse_container(payload: bytes) -> dict:
+    """RIFF walk -> {'vp8l': bytes|None, 'canvas': (w, h)|None,
+    'anim': (bg_rgba, loop)|None, 'frames': [anmf payloads]}."""
+    payload = bytes(payload)
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise WebpError("not a RIFF/WEBP payload")
+    out = {"vp8l": None, "canvas": None, "anim": None, "frames": []}
+    for tag, body in _walk_chunks(payload, 12, len(payload)):
+        if tag == b"VP8L" and out["vp8l"] is None:
+            out["vp8l"] = body
+        elif tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) needs libwebp; only VP8L decodes here"
+            )
+        elif tag == b"VP8X":
+            if len(body) < 10:
+                raise WebpError("short VP8X chunk")
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            out["canvas"] = (cw, ch)
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise WebpError("short ANIM chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]  # BGRA
+            out["anim"] = ((r_, g_, b_, a_),
+                           struct.unpack_from("<H", body, 4)[0])
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise WebpError("short ANMF chunk")
+            out["frames"].append(body)
+    return out
+
+
+def decode_webp_frames(
+    payload: bytes, every_k: int = 1, max_frames: int | None = None
+) -> list:
+    """Composited RGBA frames [(frame_no, duration_ms, (h, w, 4) uint8),
+    ...] taking every k-th frame — the animation twin of
+    gif.decode_gif_frames, over the VP8X/ANIM/ANMF container.  Blending
+    method 0 alpha-composites the frame onto the canvas, 1 overwrites
+    its rectangle; disposal 1 fills the rectangle with the ANIM
+    background color afterwards (container-spec semantics; the canvas
+    starts transparent black).  ``max_frames`` bounds the number of
+    frames DECODED, not just returned."""
+    info = _parse_container(payload)
+    if not info["frames"]:
+        argb, w, h = _decode_vp8l(_require_vp8l(info))
+        return [(0, 0, _argb_to_rgba(argb, w, h))]
+    if info["canvas"] is None:
+        raise WebpError("ANMF frames without a VP8X canvas")
+    cw, ch = info["canvas"]
+    if cw * ch > MAX_PIXELS:
+        raise WebpError("WebP canvas too large")
+    bg = np.array(
+        info["anim"][0] if info["anim"] else (0, 0, 0, 0), np.uint8
+    )
+    canvas = np.zeros((ch, cw, 4), np.uint8)  # spec: transparent black
+    out = []
+    for no, body in enumerate(info["frames"]):
+        if max_frames is not None and no >= max_frames:
+            break
+        fx = int.from_bytes(body[0:3], "little") * 2
+        fy = int.from_bytes(body[3:6], "little") * 2
+        fw = int.from_bytes(body[6:9], "little") + 1
+        fh = int.from_bytes(body[9:12], "little") + 1
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        if fx + fw > cw or fy + fh > ch:
+            raise WebpError("ANMF frame rectangle outside canvas")
+        sub = None
+        for tag, sbody in _walk_chunks(body, 16, len(body)):
+            if tag == b"VP8L":
+                sub = sbody
+                break
+            if tag == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy WebP (VP8) needs libwebp; only VP8L decodes here"
+                )
+        if sub is None:
+            raise WebpError("ANMF frame without a VP8L bitstream")
+        argb, w, h = _decode_vp8l(sub)
+        if (w, h) != (fw, fh):
+            raise WebpError("ANMF frame dims disagree with its bitstream")
+        rgba = _argb_to_rgba(argb, w, h)
+        rect = canvas[fy:fy + fh, fx:fx + fw]
+        if flags & 0x02:  # do not blend: overwrite the rectangle
+            rect[:] = rgba
+        else:  # alpha-blend src-over (container-spec formula, int math)
+            sa = rgba[..., 3:4].astype(np.uint32)
+            da = rect[..., 3:4].astype(np.uint32)
+            ao255 = sa * 255 + da * (255 - sa)  # = a_out * 255
+            num = (rgba[..., :3] * sa * 255
+                   + rect[..., :3] * da * (255 - sa))
+            rect[..., :3] = np.where(
+                ao255 > 0, num // np.maximum(ao255, 1), 0
+            ).astype(np.uint8)
+            rect[..., 3:4] = (ao255 // 255).astype(np.uint8)
+        if no % every_k == 0:
+            out.append((no, dur, canvas.copy()))
+        if flags & 0x01:  # dispose to background color
+            canvas[fy:fy + fh, fx:fx + fw] = bg
+    return out
+
+
+def _require_vp8l(info: dict) -> bytes:
+    if info["vp8l"] is None:
+        raise WebpError("no VP8L chunk in WEBP container")
+    return info["vp8l"]
+
+
+def _argb_to_rgba(argb: np.ndarray, w: int, h: int) -> np.ndarray:
     a2 = argb.reshape(h, w)
     return np.stack(
         [
@@ -788,6 +894,30 @@ def decode_webp(payload: bytes) -> np.ndarray:
         ],
         axis=-1,
     ).astype(np.uint8)
+
+
+def decode_webp_argb(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WEBP payload -> (flat uint32 ARGB, width, height) of the
+    still image (or, for an animation, the composited first frame)."""
+    info = _parse_container(payload)
+    if info["frames"]:
+        _, _, rgba = decode_webp_frames(payload, max_frames=1)[0]
+        h, w = rgba.shape[:2]
+        argb = (
+            (rgba[..., 3].astype(np.uint32) << 24)
+            | (rgba[..., 0].astype(np.uint32) << 16)
+            | (rgba[..., 1].astype(np.uint32) << 8)
+            | rgba[..., 2].astype(np.uint32)
+        ).ravel()
+        return argb, w, h
+    return _decode_vp8l(_require_vp8l(info))
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP lossless payload -> (h, w, 4) RGBA uint8 (animations:
+    the composited first frame, decoding only frame 0)."""
+    argb, w, h = decode_webp_argb(payload)
+    return _argb_to_rgba(argb, w, h)
 
 
 # ---------------------------------------------------------------- encode
@@ -1174,3 +1304,85 @@ def encode_webp(
 def _s8(v: int) -> int:
     """Clamp an int to signed-8 semantics (encoder-side multipliers)."""
     return ((v & 0xFF) ^ 0x80) - 0x80
+
+
+def _vp8l_chunk(img: np.ndarray, **enc_opts) -> bytes:
+    """Encode one frame and return its VP8L chunk (fourcc+size+pad)."""
+    still = encode_webp(img, **enc_opts)
+    info = _parse_container(still)
+    vp8l = info["vp8l"]
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    return chunk
+
+
+def encode_webp_frames(
+    frames: list,
+    duration_ms: int = 100,
+    *,
+    offsets: list | None = None,
+    canvas: tuple[int, int] | None = None,
+    blend: list | None = None,
+    dispose: list | None = None,
+    background: tuple[int, int, int, int] = (0, 0, 0, 0),
+    loop: int = 0,
+    **enc_opts,
+) -> bytes:
+    """Frame list -> animated WebP (VP8X + ANIM + one ANMF per frame,
+    each carrying a real VP8L bitstream) — the animation twin of
+    gif.encode_gif_frames.  ``offsets`` places each frame's rectangle
+    (x, y must be even; default full-canvas at origin); ``blend``/
+    ``dispose`` are per-frame booleans (alpha-blend vs overwrite,
+    dispose-to-background vs none).  A single frame with no explicit
+    canvas falls back to a plain still VP8L file."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    norm = [np.asarray(f) for f in frames]
+    dims = [(f.shape[1], f.shape[0]) for f in norm]
+    offsets = offsets or [(0, 0)] * len(norm)
+    if canvas is None:
+        canvas = (
+            max(x + w for (x, _), (w, _) in zip(offsets, dims)),
+            max(y + h for (_, y), (_, h) in zip(offsets, dims)),
+        )
+    cw, ch = canvas
+    if len(norm) == 1 and offsets == [(0, 0)] and dims[0] == (cw, ch):
+        return encode_webp(norm[0], **enc_opts)
+    if cw > 16384 or ch > 16384:
+        raise ValueError("canvas too large for WebP")
+    chunks = []
+    for i, (img, (fx, fy), (fw, fh)) in enumerate(zip(norm, offsets, dims)):
+        if fx % 2 or fy % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("frame rectangle outside canvas")
+        flags = 0
+        if blend is not None and not blend[i]:
+            flags |= 0x02  # do not blend
+        if dispose is not None and dispose[i]:
+            flags |= 0x01  # dispose to background
+        body = (
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(duration_ms).to_bytes(3, "little")
+            + bytes([flags])
+            + _vp8l_chunk(img, **enc_opts)
+        )
+        anmf = b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            anmf += b"\x00"
+        chunks.append(anmf)
+    r, g, b, a = background
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes([b, g, r, a]) + struct.pack(
+        "<H", loop
+    )
+    vp8x_body = (
+        bytes([0x02]) + b"\x00\x00\x00"  # animation flag
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    )
+    vp8x = b"VP8X" + struct.pack("<I", 10) + vp8x_body
+    payload = vp8x + anim + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
