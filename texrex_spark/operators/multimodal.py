@@ -463,7 +463,11 @@ def synth_real_media_row(ref: str) -> dict:
             img = pal[rng.integers(0, 8, (h, w))]
             payload = encode_webp(img, palette=True, use_lz77=True)
         else:
-            # smooth gradient: literal path with subtract-green + LZ77
+            # smooth gradient: literal path with subtract-green + LZ77;
+            # 1-3 frames so the VP8X/ANMF animation compositor is on the
+            # fixture path too (like the GIF sub-pick)
+            from .webp import encode_webp_frames
+
             yy = np.linspace(0, 3 * np.pi, h)[:, None]
             xx = np.linspace(0, 3 * np.pi, w)[None, :]
             base = 128 + 100 * np.sin(yy) * np.cos(xx * rng.uniform(0.5, 1.5))
@@ -471,8 +475,11 @@ def synth_real_media_row(ref: str) -> dict:
                 np.stack([base, np.roll(base, 2, 0), np.roll(base, 2, 1)], -1),
                 0, 255,
             ).astype(np.uint8)
-            payload = encode_webp(
-                img, palette=False, subtract_green=True, use_lz77=True,
+            n_frames = int(rng.integers(1, 4))
+            frames = [np.roll(img, 2 * i, axis=1) for i in range(n_frames)]
+            payload = encode_webp_frames(
+                frames, duration_ms=60, blend=[False] * n_frames,
+                palette=False, subtract_green=True, use_lz77=True,
                 cache_bits=6,
             )
         return {
