@@ -330,6 +330,12 @@ def test_animation_malformed_rejected():
         encode_webp_frames(frames, offsets=[(0, 0), (1, 0)], canvas=(9, 8))
     with pytest.raises(ValueError):  # rect outside canvas
         encode_webp_frames(frames, offsets=[(0, 0), (4, 0)], canvas=(8, 8))
+    with pytest.raises(ValueError):  # per-frame list length mismatch
+        encode_webp_frames(frames, blend=[False])
+    with pytest.raises(ValueError):
+        encode_webp_frames(frames, duration_ms=1 << 24)
+    with pytest.raises(ValueError):
+        encode_webp_frames(frames, loop=70000)
     p = encode_webp_frames(frames, blend=[False, False])
     for cut in range(12, len(p), max(len(p) // 40, 1)):
         with pytest.raises((ValueError, NotImplementedError)):

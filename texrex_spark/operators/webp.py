@@ -1338,6 +1338,14 @@ def encode_webp_frames(
     canvas falls back to a plain still VP8L file."""
     if not frames:
         raise ValueError("need at least one frame")
+    if not 0 <= int(duration_ms) < 1 << 24:
+        raise ValueError("duration_ms out of uint24 range")
+    if not 0 <= loop <= 0xFFFF:
+        raise ValueError("loop count out of uint16 range")
+    for name, lst in (("offsets", offsets), ("blend", blend),
+                      ("dispose", dispose)):
+        if lst is not None and len(lst) != len(frames):
+            raise ValueError(f"{name} must have one entry per frame")
     norm = [np.asarray(f) for f in frames]
     dims = [(f.shape[1], f.shape[0]) for f in norm]
     offsets = offsets or [(0, 0)] * len(norm)
