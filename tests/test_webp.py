@@ -340,3 +340,51 @@ def test_animation_malformed_rejected():
     for cut in range(12, len(p), max(len(p) // 40, 1)):
         with pytest.raises((ValueError, NotImplementedError)):
             decode_webp(p[:cut])
+
+
+def test_hand_assembled_vp8l_stream():
+    """A VP8L bitstream laid out bit-by-bit from the spec (NOT via the
+    encoder), decoding to known pixels — breaks encoder/decoder
+    bug-cancellation for the header, simple-code, and canonical-order
+    paths.  2x1 image, no transforms/cache/meta: green uses a 2-symbol
+    simple code (symbols 30 and 10 — read order reversed vs canonical
+    order, so code 0 must go to the SMALLER symbol, 10), red/blue/alpha
+    are 1-symbol codes costing zero bits per pixel."""
+    bw = _BitWriter()
+    bw.write(1, 14)   # width - 1  -> w = 2
+    bw.write(0, 14)   # height - 1 -> h = 1
+    bw.write(0, 1)    # alpha hint
+    bw.write(0, 3)    # version
+    bw.write(0, 1)    # no transforms
+    bw.write(0, 1)    # no color cache
+    bw.write(0, 1)    # no meta prefix codes
+    # green code: simple, 2 symbols, first as 8 bits: 30 then 10
+    bw.write(1, 1)    # simple
+    bw.write(1, 1)    # num_symbols - 1 = 1
+    bw.write(1, 1)    # first symbol is 8 bits
+    bw.write(30, 8)
+    bw.write(10, 8)
+    # red = 7, blue = 3, alpha = 255: simple 1-symbol codes
+    for sym in (7, 3, 255):
+        bw.write(1, 1)   # simple
+        bw.write(0, 1)   # one symbol
+        bw.write(1, 1)   # 8-bit symbol
+        bw.write(sym, 8)
+    # distance code: simple 1-symbol (never read)
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)    # 1-bit symbol
+    bw.write(0, 1)
+    # pixels: canonical order assigns code 0 to symbol 10 (the smaller),
+    # code 1 to symbol 30 — emit green 30 then green 10
+    bw.write(1, 1)    # -> green 30
+    bw.write(0, 1)    # -> green 10
+    vp8l = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    out = decode_webp(payload)
+    assert out.shape == (1, 2, 4)
+    assert (out[0, 0] == [7, 30, 3, 255]).all()
+    assert (out[0, 1] == [7, 10, 3, 255]).all()
