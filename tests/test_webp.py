@@ -388,3 +388,116 @@ def test_hand_assembled_vp8l_stream():
     assert out.shape == (1, 2, 4)
     assert (out[0, 0] == [7, 30, 3, 255]).all()
     assert (out[0, 1] == [7, 10, 3, 255]).all()
+
+
+def test_hand_assembled_multi_group_meta_stream():
+    """Two REAL prefix-code groups selected by the entropy image — the
+    encoder only ever emits a trivial one-group meta image, so this
+    hand-built stream is the only coverage of per-block group dispatch.
+    8x1 image, meta precision hb=2 (4-pixel blocks, so 2 blocks): the
+    entropy image's two pixels carry meta indices 0 and 1; both groups
+    use 0-bit single-symbol codes, so the pixel section is empty and
+    the decoded colors depend entirely on picking the right group."""
+    bw = _BitWriter()
+    bw.write(7, 14)   # w = 8
+    bw.write(0, 14)   # h = 1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)    # no transforms
+    bw.write(0, 1)    # no color cache
+    bw.write(1, 1)    # meta prefix codes present
+    bw.write(0, 3)    # hb - 2 = 0 -> blocks of 4 -> entropy image is 2x1
+    # --- entropy image (level0=False: no transforms/meta field) ---
+    bw.write(0, 1)    # no color cache
+    # green: simple 2-symbol code {0, 1} (canonical: code 0 -> symbol 0)
+    bw.write(1, 1)
+    bw.write(1, 1)
+    bw.write(0, 1)    # first symbol in 1 bit
+    bw.write(0, 1)    # symbol 0
+    bw.write(1, 8)    # symbol 1
+    for sym in (0, 0, 0):  # red/blue/alpha: 1-symbol codes, 0 bits/px
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(sym, 1)
+    bw.write(1, 1)    # distance: 1-symbol code
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)    # entropy pixel 0: green 0 -> meta index 0
+    bw.write(1, 1)    # entropy pixel 1: green 1 -> meta index 1
+    # --- two groups, every code single-symbol (zero pixel bits) ---
+    for r, g, b in ((1, 100, 2), (3, 200, 4)):
+        for sym in (g, r, b, 255):
+            bw.write(1, 1)  # simple
+            bw.write(0, 1)  # one symbol
+            bw.write(1, 1)  # 8-bit
+            bw.write(sym, 8)
+        bw.write(1, 1)      # distance: 1-symbol
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+    vp8l = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    out = decode_webp(
+        b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    )
+    assert out.shape == (1, 8, 4)
+    assert (out[0, :4] == [1, 100, 2, 255]).all()   # block 0 -> group 0
+    assert (out[0, 4:] == [3, 200, 4, 255]).all()   # block 1 -> group 1
+
+
+def test_backref_distance_beyond_plane_map():
+    """Distance codes > 120 mean a literal distance of code-120 — the
+    encoder only emits dist-1 runs, so pin the integrated path with a
+    stream whose backref reaches 72 pixels back (for w=8 the plane map
+    tops out at 7*8+8 = 64, forcing code 72+120).  The green code mixes
+    two literal symbols with a length symbol, so this also exercises a
+    code-length-coded green alphabet with a symbol above 255."""
+    from texrex_spark.operators.webp import _prefix_sym, _write_code
+
+    w, h = 8, 12
+    greens = [(1 if (i % 7) < 3 else 0) for i in range(80)]
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)    # no transforms
+    bw.write(0, 1)    # no color cache
+    bw.write(0, 1)    # no meta
+    # green: lengths {0:1, 1:2, 256+len_sym(16):2} (Kraft exact); the
+    # code-description bytes come from the encoder's writer, which the
+    # hand-assembled 2x1 stream already pins independently
+    len_sym, len_ebits, len_extra = _prefix_sym(16)
+    glens = [0] * 280
+    glens[0], glens[1], glens[256 + len_sym] = 1, 2, 2
+    green = _write_code(bw, glens)
+    for sym in (0, 0, 0):  # red/blue/alpha single-symbol
+        bw.write(1, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(sym, 1)
+    # distance: single-symbol code for prefix_sym(72 + 120)
+    dist_sym, dist_ebits, dist_extra = _prefix_sym(72 + 120)
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(1, 1)
+    bw.write(dist_sym, 8)
+    for g in greens:  # 80 literals
+        bw.write(*green[g])
+    bw.write(*green[256 + len_sym])  # backref: length 16 ...
+    bw.write(len_extra, len_ebits)
+    bw.write(dist_extra, dist_ebits)  # ... distance code 192 -> dist 72
+    vp8l = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    out = decode_webp(
+        b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    )
+    expect = greens + greens[8:24]  # out[80+i] = out[80+i-72]
+    assert out.shape == (12, 8, 4)
+    assert out[..., 1].ravel().tolist() == expect
