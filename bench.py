@@ -205,6 +205,16 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
     elif codec == "png":
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = mm.encode_png(img), "image/png"
+    elif codec == "tiff":
+        from texrex_spark.operators.tiff import encode_tiff
+
+        img = np.clip(
+            rng.integers(0, 256, (h, w, 3)).astype(np.int32) // 4
+            + np.linspace(0, 192, w)[None, :, None].astype(np.int32),
+            0, 255,
+        ).astype(np.uint8)
+        payload = encode_tiff(img, compression="lzw", predictor=True)
+        mime = "image/tiff"
     elif codec == "webp":
         from texrex_spark.operators.webp import encode_webp
 
@@ -248,7 +258,7 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
 MEDIA_CODECS = [
     ("pgm", 4096), ("ppm", 4096), ("bmp", 4096), ("png", 2048),
     ("jpeg", 1024), ("jpeg_progressive", 512), ("gif", 2048),
-    ("webp", 512), ("wav", 4096), ("mp4", 256),
+    ("webp", 512), ("tiff", 2048), ("wav", 4096), ("mp4", 256),
 ]
 
 

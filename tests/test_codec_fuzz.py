@@ -21,6 +21,7 @@ from texrex_spark.operators.gif import (
     encode_gif_frames,
 )
 from texrex_spark.operators.mp4 import encode_mjpeg_mp4, parse_mp4
+from texrex_spark.operators.tiff import decode_tiff, encode_tiff
 from texrex_spark.operators.webp import (
     decode_webp,
     encode_webp,
@@ -64,6 +65,13 @@ def _payloads():
             encode_webp_frames(frames, duration_ms=4, blend=[False] * 3),
             decode_webp,
         ),
+        "tiff-lzw": (
+            encode_tiff(img, compression="lzw", predictor=True,
+                        rows_per_strip=8),
+            decode_tiff,
+        ),
+        "tiff-packbits": (encode_tiff(gray, compression="packbits"),
+                          decode_tiff),
     }
 
 

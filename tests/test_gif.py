@@ -260,9 +260,9 @@ def test_dispatcher_first_frame_luma():
 
 
 def test_synth_fixture_emits_gif():
-    """m/17 hashes to the GIF sub-pick; the synthesized payload must be
+    """m/8 hashes to the GIF sub-pick; the synthesized payload must be
     a decodable GIF whose meta matches the decoded first frame."""
-    row = mm.synth_real_media_row("m/17")
+    row = mm.synth_real_media_row("m/8")
     assert row["meta"]["mime"] == "image/gif"
     img = decode_gif(bytes(row["payload"]))
     assert img.shape == (row["meta"]["height"], row["meta"]["width"], 3)

@@ -115,11 +115,11 @@ def test_malformed_progressive_raises():
 
 
 def test_synth_progressive_fixture_branch():
-    """The media fixture's m/0 ref is a progressive JPEG and must
+    """The media fixture's m/1 ref is a progressive JPEG and must
     decode through the public dispatcher."""
     from texrex_spark.operators import multimodal as mm
 
-    row = mm.synth_real_media_row("m/0")
+    row = mm.synth_real_media_row("m/1")
     assert row["meta"]["mime"] == "image/jpeg"
     assert row["payload"].find(b"\xff\xc2") > 0  # SOF2 present
     img = mm.decode(bytes(row["payload"]), row["meta"])

@@ -75,7 +75,7 @@ def test_audio_feature_row_matches_numpy():
 
 def test_synth_real_media_row_covers_all_formats():
     kinds = {}
-    for k in range(40):
+    for k in range(48):
         row = mm.synth_real_media_row(f"m/{k}")
         kinds.setdefault(row["meta"]["mime"], 0)
         kinds[row["meta"]["mime"]] += 1
@@ -104,6 +104,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/jpeg",
         "image/gif",
         "image/webp",
+        "image/tiff",
         "audio/wav",
         "video/mp4",
     }

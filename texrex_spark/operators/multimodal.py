@@ -372,6 +372,10 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
         from .webp import decode_webp
 
         return _to_luma(decode_webp(payload))
+    if mime == "image/tiff":
+        from .tiff import decode_tiff
+
+        return _to_luma(decode_tiff(payload))
     if mime == "image/fake":
         return decode_stub(payload, meta)
     raise NotImplementedError(
@@ -452,7 +456,26 @@ def synth_real_media_row(ref: str) -> dict:
     exercised end to end with no codec libraries."""
     seed = hashlib.md5(ref.encode()).digest()
     rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
-    pick = seed[8] % 8
+    pick = seed[8] % 9
+    if pick == 8:
+        from .tiff import encode_tiff
+
+        w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if seed[9] % 2 == 0:
+            # smooth ramp: LZW + horizontal-differencing predictor
+            img = np.clip(
+                img // 4 + np.linspace(0, 192, w)[None, :, None], 0, 255
+            ).astype(np.uint8)
+            payload = encode_tiff(img, compression="lzw", predictor=True,
+                                  rows_per_strip=16)
+        else:
+            payload = encode_tiff(img, compression="packbits")
+        return {
+            "media_ref": ref, "kind": "image", "payload": payload,
+            "meta": {"width": w, "height": h, "duration_ms": 0,
+                     "mime": "image/tiff"},
+        }
     if pick == 7:
         from .webp import encode_webp
 
@@ -704,6 +727,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     from .webp import decode_webp, encode_webp
 
                     img, enc = decode_webp(payload), encode_webp
+                elif mime == "image/tiff":
+                    from .tiff import decode_tiff, encode_tiff
+
+                    img, enc = decode_tiff(payload), encode_tiff
                 else:
                     continue  # audio / video: passed through elsewhere
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)

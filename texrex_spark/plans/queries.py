@@ -2469,11 +2469,11 @@ def _real_media_rows():
     from ..operators.multimodal import video_feature_row
 
     rows = []
-    # prefix "m/": md5-hash picks over m/0..m/31 hit ALL NINE codec
-    # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WebP, WAV, MJPEG-MP4) —
-    # asserted below so a synth change can't silently drop a format from
-    # the oracle
-    for k in range(32):
+    # prefix "m/": md5-hash picks over m/0..m/47 hit ALL TEN codec
+    # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WebP, TIFF, WAV,
+    # MJPEG-MP4) — asserted below so a synth change can't silently drop
+    # a format from the oracle
+    for k in range(48):
         m = synth_real_media_row(f"m/{k}")
         if m["kind"] == "audio":
             a = audio_feature_row(m["media_ref"], m["payload"])
@@ -2492,7 +2492,7 @@ def _real_media_rows():
     assert {r[2] for r in rows} == {
         "image/x-portable-graymap", "image/x-portable-pixmap",
         "image/bmp", "image/png", "image/jpeg", "image/gif",
-        "image/webp", "audio/wav", "video/mp4",
+        "image/webp", "image/tiff", "audio/wav", "video/mp4",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
@@ -2506,7 +2506,7 @@ def _real_media_rows():
         _real_media_rows(),
         ["tpl", "media_ref", "mime", "kind", "dim_a", "dim_b", "stat"],
     )}
-      ON d.doc_id % 32 = e.tpl
+      ON d.doc_id % 48 = e.tpl
     """,
 )
 def q_media_decode(spark, sf_dir):
@@ -2517,7 +2517,8 @@ def q_media_decode(spark, sf_dir):
     pure-stdlib compressed codecs (PNG, operators/multimodal.py; JPEG —
     baseline incl. 4:2:0 AND progressive SOF2, operators/jpeg.py; GIF,
     operators/gif.py; lossless VP8L WebP — transforms, LZ77, color
-    cache, operators/webp.py) and MJPEG-in-MP4 video (full ISO BMFF
+    cache, operators/webp.py; TIFF — LZW/PackBits strips + predictor,
+    operators/tiff.py) and MJPEG-in-MP4 video (full ISO BMFF
     sample-table parse + every-2nd-frame decode, operators/mp4.py).  Images report (width,
     height, mean luma); audio (n_samples, channels, RMS); video
     (n_frames, width, mean sampled luma).  Inter-frame video codecs stay
@@ -2528,7 +2529,7 @@ def q_media_decode(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 32).cast("string"))
+    ref = F.concat(F.lit("m/"), (F.col("doc_id") % 48).cast("string"))
     spans = docs.select(
         "doc_id",
         F.array(
