@@ -205,6 +205,15 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
     elif codec == "png":
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = mm.encode_png(img), "image/png"
+    elif codec == "ico":
+        from texrex_spark.operators.ico import encode_ico
+
+        w = h = 64
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        rgba[..., 3] = 255
+        rgba[0:4, 0:4, 3] = 0
+        payload = encode_ico([rgba[::4, ::4], rgba])
+        mime = "image/x-icon"
     elif codec == "tiff":
         from texrex_spark.operators.tiff import encode_tiff
 
@@ -258,7 +267,7 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
 MEDIA_CODECS = [
     ("pgm", 4096), ("ppm", 4096), ("bmp", 4096), ("png", 2048),
     ("jpeg", 1024), ("jpeg_progressive", 512), ("gif", 2048),
-    ("webp", 512), ("tiff", 2048), ("wav", 4096), ("mp4", 256),
+    ("webp", 512), ("tiff", 2048), ("ico", 4096), ("wav", 4096), ("mp4", 256),
 ]
 
 
@@ -300,7 +309,7 @@ def bench_media(spark) -> dict:
             unit, work = "frames", n * 6
         else:
             job = lambda: extract_features(media)
-            px = 32 * 32 if codec == "mp4" else 128 * 128
+            px = 64 * 64 if codec == "ico" else 128 * 128
             unit, work = "megapixels", n * px / 1e6
         job().write.format("noop").mode("overwrite").save()  # warm path
         times = []

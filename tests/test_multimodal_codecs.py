@@ -105,6 +105,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/gif",
         "image/webp",
         "image/tiff",
+        "image/x-icon",
         "audio/wav",
         "video/mp4",
     }

@@ -376,6 +376,10 @@ def decode(payload: bytes, meta: dict) -> np.ndarray:
         from .tiff import decode_tiff
 
         return _to_luma(decode_tiff(payload))
+    if mime == "image/x-icon":
+        from .ico import decode_ico
+
+        return _to_luma(decode_ico(payload))
     if mime == "image/fake":
         return decode_stub(payload, meta)
     raise NotImplementedError(
@@ -565,7 +569,19 @@ def synth_real_media_row(ref: str) -> dict:
         payload, mime = encode_ppm(img), "image/x-portable-pixmap"
     elif pick == 2:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        payload, mime = encode_bmp(img), "image/bmp"
+        if seed[9] % 2 == 0:
+            # ICO sub-pick: a two-size favicon (the dominant crawl case),
+            # alpha-holed so the AND mask is on the fixture path
+            from .ico import encode_ico
+
+            w = h = int(rng.integers(16, 49))
+            rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            rgba[..., 3] = 255
+            rgba[0:2, 0:2, 3] = 0
+            payload = encode_ico([rgba[::2, ::2], rgba])
+            mime = "image/x-icon"
+        else:
+            payload, mime = encode_bmp(img), "image/bmp"
     elif pick == 4:
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         payload, mime = encode_png(img), "image/png"
@@ -731,6 +747,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     from .tiff import decode_tiff, encode_tiff
 
                     img, enc = decode_tiff(payload), encode_tiff
+                elif mime == "image/x-icon":
+                    from .ico import decode_ico, encode_ico
+
+                    img, enc = decode_ico(payload), encode_ico
                 else:
                     continue  # audio / video: passed through elsewhere
                 ys = np.linspace(0, img.shape[0] - 1, height).astype(int)

@@ -2469,8 +2469,8 @@ def _real_media_rows():
     from ..operators.multimodal import video_feature_row
 
     rows = []
-    # prefix "m/": md5-hash picks over m/0..m/47 hit ALL TEN codec
-    # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WebP, TIFF, WAV,
+    # prefix "m/": md5-hash picks over m/0..m/47 hit ALL ELEVEN codec
+    # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WebP, TIFF, ICO, WAV,
     # MJPEG-MP4) — asserted below so a synth change can't silently drop
     # a format from the oracle
     for k in range(48):
@@ -2492,7 +2492,8 @@ def _real_media_rows():
     assert {r[2] for r in rows} == {
         "image/x-portable-graymap", "image/x-portable-pixmap",
         "image/bmp", "image/png", "image/jpeg", "image/gif",
-        "image/webp", "image/tiff", "audio/wav", "video/mp4",
+        "image/webp", "image/tiff", "image/x-icon",
+        "audio/wav", "video/mp4",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
@@ -2518,7 +2519,8 @@ def q_media_decode(spark, sf_dir):
     baseline incl. 4:2:0 AND progressive SOF2, operators/jpeg.py; GIF,
     operators/gif.py; lossless VP8L WebP — transforms, LZ77, color
     cache, operators/webp.py; TIFF — LZW/PackBits strips + predictor,
-    operators/tiff.py) and MJPEG-in-MP4 video (full ISO BMFF
+    operators/tiff.py; ICO favicons — DIB XOR+AND masks and PNG entries,
+    operators/ico.py) and MJPEG-in-MP4 video (full ISO BMFF
     sample-table parse + every-2nd-frame decode, operators/mp4.py).  Images report (width,
     height, mean luma); audio (n_samples, channels, RMS); video
     (n_frames, width, mean sampled luma).  Inter-frame video codecs stay
