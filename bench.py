@@ -161,14 +161,25 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
 
     rng = np.random.default_rng(0xBEEF ^ idx)
     w = h = 128
-    if codec == "wav":
+    if codec in ("wav", "flac"):
         rate, n = 8000, 8000
-        samples = rng.integers(-(2**14), 2**14, n, dtype=np.int16)
+        if codec == "flac":
+            from texrex_spark.operators.flac import encode_flac
+
+            t = np.arange(n)
+            samples = (
+                6000 * np.sin(2 * np.pi * 440 * t / rate)
+                + rng.integers(-200, 200, n)
+            ).astype(np.int16)
+            payload, mime = encode_flac(samples, rate), "audio/flac"
+        else:
+            samples = rng.integers(-(2**14), 2**14, n, dtype=np.int16)
+            payload, mime = mm.encode_wav(samples, rate), "audio/wav"
         return {
-            "media_ref": f"wav/{idx}", "kind": "audio",
-            "payload": mm.encode_wav(samples, rate),
+            "media_ref": f"{codec}/{idx}", "kind": "audio",
+            "payload": payload,
             "meta": {"width": 0, "height": 0,
-                     "duration_ms": int(n * 1000 / rate), "mime": "audio/wav"},
+                     "duration_ms": int(n * 1000 / rate), "mime": mime},
         }
     if codec == "mp4":
         from texrex_spark.operators.mp4 import encode_mjpeg_mp4
@@ -267,7 +278,7 @@ def _media_fixture_row(idx: int, codec: str) -> dict:
 MEDIA_CODECS = [
     ("pgm", 4096), ("ppm", 4096), ("bmp", 4096), ("png", 2048),
     ("jpeg", 1024), ("jpeg_progressive", 512), ("gif", 2048),
-    ("webp", 512), ("tiff", 2048), ("ico", 4096), ("wav", 4096), ("mp4", 256),
+    ("webp", 512), ("tiff", 2048), ("ico", 4096), ("wav", 4096), ("flac", 2048), ("mp4", 256),
 ]
 
 
@@ -301,7 +312,7 @@ def bench_media(spark) -> dict:
             .persist()
         )
         media.count()
-        if codec == "wav":
+        if codec in ("wav", "flac"):
             job = lambda: extract_audio_features(media)
             unit, work = "samples", n * 8000
         elif codec == "mp4":

@@ -21,6 +21,7 @@ from texrex_spark.operators.gif import (
     encode_gif_frames,
 )
 from texrex_spark.operators.mp4 import encode_mjpeg_mp4, parse_mp4
+from texrex_spark.operators.flac import decode_flac, encode_flac
 from texrex_spark.operators.ico import decode_ico, encode_ico
 from texrex_spark.operators.tiff import decode_tiff, encode_tiff
 from texrex_spark.operators.webp import (
@@ -74,6 +75,7 @@ def _payloads():
         "tiff-packbits": (encode_tiff(gray, compression="packbits"),
                           decode_tiff),
         "ico": (encode_ico([img[:16, :16], img]), decode_ico),
+        "flac": (encode_flac(samples, 8000), decode_flac),
     }
 
 

@@ -81,7 +81,7 @@ def test_synth_real_media_row_covers_all_formats():
         kinds[row["meta"]["mime"]] += 1
         # every payload must decode through the public tier
         if row["kind"] == "audio":
-            s, rate = mm.decode_wav(bytes(row["payload"]))
+            s, rate = mm.decode_audio(bytes(row["payload"]))
             # meta duration must be consistent with the decoded samples
             assert row["meta"]["duration_ms"] == int(s.shape[0] * 1000 / rate)
         elif row["kind"] == "video":
@@ -107,6 +107,7 @@ def test_synth_real_media_row_covers_all_formats():
         "image/tiff",
         "image/x-icon",
         "audio/wav",
+        "audio/flac",
         "video/mp4",
     }
 

@@ -25,6 +25,9 @@ Decode support is tiered by what the container allows:
   MJPEG-in-MP4 — a full ISO BMFF box/sample-table parser + writer
   (operators/mp4.py) over the baseline JPEG codec — and concatenated-PPM
   streams, both driving the ``sample_frames`` frame-sampling stage.
+  Audio: 8/16-bit PCM WAV plus lossless FLAC (operators/flac.py —
+  fixed/LPC predictors, Rice residuals, stereo decorrelation, CRC
+  checks), sniffed by container magic in ``decode_audio``.
 - **Stub** for the remaining compressed tier (arithmetic-coded/lossless
   JPEG, lossy VP8 WebP, and inter-frame video codecs like H.264 need
   PIL/av/libwebp, absent here): ``decode`` raises
@@ -543,6 +546,23 @@ def synth_real_media_row(ref: str) -> dict:
         rate = int(rng.choice([8000, 16000]))
         n = int(rng.integers(400, 4000))
         samples = rng.integers(-(2**14), 2**14, n, dtype=np.int16)
+        if seed[9] % 2 == 0:
+            # FLAC sub-pick: a tonal signal so the fixed predictors and
+            # Rice coding actually compress (operators/flac.py)
+            from .flac import encode_flac
+
+            t = np.arange(n)
+            samples = (
+                6000 * np.sin(2 * np.pi * 440 * t / rate)
+                + rng.integers(-200, 200, n)
+            ).astype(np.int16)
+            return {
+                "media_ref": ref, "kind": "audio",
+                "payload": encode_flac(samples, rate),
+                "meta": {"width": 0, "height": 0,
+                         "duration_ms": int(n * 1000 / rate),
+                         "mime": "audio/flac"},
+            }
         return {
             "media_ref": ref, "kind": "audio",
             "payload": encode_wav(samples, rate),
@@ -636,9 +656,21 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Container-sniffed audio decode: FLAC (fLaC magic,
+    operators/flac.py) or PCM WAV (RIFF) -> ((n, channels) int16,
+    rate)."""
+    payload = bytes(payload)
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def audio_feature_row(ref: str, payload: bytes) -> dict:
     """Pure per-object kernel behind extract_audio_features."""
-    samples, rate = decode_wav(payload)
+    samples, rate = decode_audio(payload)
     mono = samples.mean(axis=1)
     n = samples.shape[0]
     return {

@@ -2469,10 +2469,10 @@ def _real_media_rows():
     from ..operators.multimodal import video_feature_row
 
     rows = []
-    # prefix "m/": md5-hash picks over m/0..m/47 hit ALL ELEVEN codec
+    # prefix "m/": md5-hash picks over m/0..m/47 hit ALL TWELVE codec
     # branches (PGM, PPM, BMP, PNG, JPEG, GIF, WebP, TIFF, ICO, WAV,
-    # MJPEG-MP4) — asserted below so a synth change can't silently drop
-    # a format from the oracle
+    # FLAC, MJPEG-MP4) — asserted below so a synth change can't silently
+    # drop a format from the oracle
     for k in range(48):
         m = synth_real_media_row(f"m/{k}")
         if m["kind"] == "audio":
@@ -2493,7 +2493,7 @@ def _real_media_rows():
         "image/x-portable-graymap", "image/x-portable-pixmap",
         "image/bmp", "image/png", "image/jpeg", "image/gif",
         "image/webp", "image/tiff", "image/x-icon",
-        "audio/wav", "video/mp4",
+        "audio/wav", "audio/flac", "video/mp4",
     }, "q_media_decode fixture must exercise every real codec"
     return rows
 
