@@ -2520,7 +2520,8 @@ def q_media_decode(spark, sf_dir):
     operators/gif.py; lossless VP8L WebP — transforms, LZ77, color
     cache, operators/webp.py; TIFF — LZW/PackBits strips + predictor,
     operators/tiff.py; ICO favicons — DIB XOR+AND masks and PNG entries,
-    operators/ico.py) and MJPEG-in-MP4 video (full ISO BMFF
+    operators/ico.py; FLAC — fixed/LPC predictors + Rice residuals,
+    container-sniffed beside WAV, operators/flac.py) and MJPEG-in-MP4 video (full ISO BMFF
     sample-table parse + every-2nd-frame decode, operators/mp4.py).  Images report (width,
     height, mean luma); audio (n_samples, channels, RMS); video
     (n_frames, width, mean sampled luma).  Inter-frame video codecs stay
