@@ -501,3 +501,37 @@ def test_backref_distance_beyond_plane_map():
     expect = greens + greens[8:24]  # out[80+i] = out[80+i-72]
     assert out.shape == (12, 8, 4)
     assert out[..., 1].ravel().tolist() == expect
+
+
+def test_sample_frames_over_animated_webp_and_gif(spark):
+    """The frame-sampling stage explodes animated WebP and GIF payloads
+    into per-frame PPM rows, same contract as MP4/PNM streams."""
+    import pandas as pd
+    from texrex_spark.operators.gif import encode_gif_frames
+    from texrex_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_ppm, sample_frames)
+    from texrex_spark.operators.webp import encode_webp_frames
+
+    rng = _rng(12)
+    wframes = [rng.integers(0, 256, (10, 12, 3), np.uint8) for _ in range(5)]
+    gframes = [(rng.integers(0, 4, (10, 12, 3)) * 80).astype(np.uint8)
+               for _ in range(4)]
+    rows = [
+        {"media_ref": "aw/0", "kind": "image",
+         "payload": encode_webp_frames(wframes, blend=[False] * 5),
+         "meta": {"width": 12, "height": 10, "duration_ms": 500,
+                  "mime": "image/webp"}},
+        {"media_ref": "ag/0", "kind": "image",
+         "payload": encode_gif_frames(gframes, delay_cs=4),
+         "meta": {"width": 12, "height": 10, "duration_ms": 160,
+                  "mime": "image/gif"}},
+    ]
+    media = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    out = {r["media_ref"]: r for r in sample_frames(media, every_k=2).collect()}
+    assert sorted(out) == ["ag/0#0", "ag/0#2", "aw/0#0", "aw/0#2", "aw/0#4"]
+    for i in (0, 2, 4):
+        got = decode_ppm(bytes(out[f"aw/0#{i}"]["payload"]))
+        assert (got == wframes[i]).all()
+    for i in (0, 2):
+        got = decode_ppm(bytes(out[f"ag/0#{i}"]["payload"]))
+        assert (got == gframes[i]).all()

@@ -822,12 +822,15 @@ def decode_pnm_stream(payload: bytes) -> list[np.ndarray]:
 
 
 def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
-    """Frame-sampling stage for video payloads: decode the stream, keep
-    every k-th frame, and emit each kept frame as its own single-image
-    media row (``media_ref#<frame_idx>``) so the whole image pipeline
-    (features, resize, near-dup) applies downstream.  Two real container
-    formats: concatenated-PPM streams (byte-concatenation grammar) and
-    MJPEG-in-MP4 (full ISO BMFF sample-table walk, operators/mp4.py);
+    """Frame-sampling stage for multi-frame payloads: decode the stream,
+    keep every k-th frame, and emit each kept frame as its own
+    single-image media row (``media_ref#<frame_idx>``) so the whole
+    image pipeline (features, resize, near-dup) applies downstream.
+    Four real container formats: concatenated-PPM streams
+    (byte-concatenation grammar), MJPEG-in-MP4 (full ISO BMFF
+    sample-table walk, operators/mp4.py), and animated GIF / WebP
+    (composited frames with disposal/blend semantics, operators/gif.py
+    and webp.py — both decode only the frames the stride keeps);
     inter-frame codecs (H.264 etc.) would slot into the same kernel via
     av."""
 
@@ -845,6 +848,18 @@ def sample_frames(media: DataFrame, every_k: int) -> DataFrame:
                     all_frames = decode_pnm_stream(bytes(payload))
                     idxs = range(0, len(all_frames), every_k)
                     frames = [all_frames[i] for i in idxs]
+                elif meta["mime"] == "image/gif":
+                    from .gif import decode_gif_frames
+
+                    frames = [a for _, _, a in
+                              decode_gif_frames(bytes(payload), every_k)]
+                    idxs = range(0, every_k * len(frames), every_k)
+                elif meta["mime"] == "image/webp":
+                    from .webp import decode_webp_frames
+
+                    frames = [a[..., :3] for _, _, a in
+                              decode_webp_frames(bytes(payload), every_k)]
+                    idxs = range(0, every_k * len(frames), every_k)
                 else:
                     continue
                 for i, frame in zip(idxs, frames):
