@@ -48,23 +48,40 @@ _RATE_CODE = {
 _DEPTH_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8 with polynomial x^8+x^2+x+1 (0x07), init 0."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc_tables():
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+_CRC8_TAB, _CRC16_TAB = _make_crc_tables()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8+x^2+x+1 (0x07), init 0 (table-driven:
+    CRCs run over every frame byte, so the per-bit loop was a third of
+    decode time)."""
+    crc = 0
+    tab = _CRC8_TAB
+    for b in data:
+        crc = tab[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16 with polynomial x^16+x^15+x^2+1 (0x8005), init 0."""
     crc = 0
+    tab = _CRC16_TAB
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -214,10 +231,43 @@ def _read_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
             raw = br.read(5)
             for _ in range(n):
                 out.append(br.read_signed(raw) if raw else 0)
-        else:
+            continue
+        # Rice hot loop, reservoir inlined (the per-bit unary read was
+        # the decode bottleneck): leading zeros come from bit_length in
+        # O(1) instead of one read(1) call per quotient bit
+        data, dn = br.data, br.n
+        buf, cnt, pos = br.buf, br.cnt, br.pos
+        try:
             for _ in range(n):
-                q = br.unary()
-                out.append(_zigzag_decode((q << param) | br.read(param)))
+                q = 0
+                while buf == 0:
+                    q += cnt
+                    if pos >= dn:
+                        raise FlacError("FLAC bitstream exhausted")
+                    if q > 1 << 20:
+                        raise FlacError("runaway unary code")
+                    buf = data[pos]
+                    pos += 1
+                    cnt = 8
+                top = buf.bit_length()
+                q += cnt - top
+                cnt = top - 1
+                buf ^= 1 << cnt  # consume the terminating 1 bit
+                while cnt < param:
+                    if pos >= dn:
+                        raise FlacError("FLAC bitstream exhausted")
+                    buf = (buf << 8) | data[pos]
+                    pos += 1
+                    cnt += 8
+                if param:
+                    cnt -= param
+                    v = (q << param) | (buf >> cnt)
+                    buf &= (1 << cnt) - 1
+                else:
+                    v = q
+                out.append((v >> 1) ^ -(v & 1))
+        finally:
+            br.buf, br.cnt, br.pos = buf, cnt, pos
     return out
 
 
