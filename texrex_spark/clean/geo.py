@@ -58,6 +58,30 @@ class GeoBlocks:
         return self.locations.get(int(loc))
 
 
+def ip_to_int_batch(ips: pd.Series) -> np.ndarray:
+    """Vectorized ``ip_to_int`` over a string Series (r06, guide §4.2).
+
+    One C regex pass extracts the four decimal octets; out-of-range parts
+    -> 0 like the scalar path.  Rows the strict pattern rejects (unusual
+    but scalar-accepted forms like ``"1. 2.3.4"`` — int() strips spaces)
+    fall back to the scalar parser, preserving exact semantics."""
+    s = ips.fillna("").astype(str)
+    parts = s.str.extract(
+        r"^(\d{1,9})\.(\d{1,9})\.(\d{1,9})\.(\d{1,9})$", expand=True
+    )
+    matched = parts[0].notna().to_numpy()
+    octets = parts.fillna("0").astype(np.int64).to_numpy()
+    ok = matched & (octets <= 255).all(axis=1)
+    out = np.zeros(len(s), dtype=np.uint32)
+    out[ok] = (
+        (octets[ok, 0] << 24) | (octets[ok, 1] << 16)
+        | (octets[ok, 2] << 8) | octets[ok, 3]
+    ).astype(np.uint32)
+    for i in np.flatnonzero(~matched):
+        out[i] = ip_to_int(s.iat[int(i)])
+    return out
+
+
 def geolocate(df: DataFrame, blocks: GeoBlocks, ip_col: str = "ip") -> DataFrame:
     """Add country/region/city columns by broadcast range-join."""
     spark = df.sparkSession
@@ -65,18 +89,31 @@ def geolocate(df: DataFrame, blocks: GeoBlocks, ip_col: str = "ip") -> DataFrame
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g: GeoBlocks = bc.value
+        # per-task location columns aligned to the sorted block order, so
+        # row assembly is a fancy-index instead of a per-row dict chain
+        n_blocks = len(g.loc_ids)
+        cols = {}
+        gap = g.locations.get(-1)  # scalar path looked up loc_id -1 for gaps
+        for key in ("country", "region", "city"):
+            arr = np.empty(n_blocks + 1, dtype=object)  # [n_blocks] = gap
+            arr[n_blocks] = gap[key] if gap else None
+            for k in range(n_blocks):
+                loc = g.locations.get(int(g.loc_ids[k]))
+                arr[k] = loc[key] if loc else None
+            cols[key] = arr
         for pdf in batches:
-            ips = np.fromiter(
-                (ip_to_int(ip) for ip in pdf[ip_col].fillna("")),
-                dtype=np.uint32,
-                count=len(pdf),
-            )
-            locs = g.lookup(ips)
-            rows = [g.locations.get(int(l)) for l in locs]
+            ips = ip_to_int_batch(pdf[ip_col])
+            # positional variant of GeoBlocks.lookup (same arithmetic)
+            idx = np.searchsorted(g.lowers, ips, side="right") - 1
+            pos = np.full(len(ips), n_blocks, dtype=np.int64)
+            okm = idx >= 0
+            in_range = np.zeros(len(ips), dtype=bool)
+            in_range[okm] = ips[okm] <= g.uppers[idx[okm]]
+            pos[in_range] = idx[in_range]
             yield pdf.assign(
-                country=[r["country"] if r else None for r in rows],
-                region=[r["region"] if r else None for r in rows],
-                city=[r["city"] if r else None for r in rows],
+                country=cols["country"][pos],
+                region=cols["region"][pos],
+                city=cols["city"][pos],
             )
 
     schema = (

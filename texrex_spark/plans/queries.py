@@ -992,25 +992,38 @@ def q_ann_topk(spark, sf_dir):
     """Brute-force cosine top-k: the exact baseline for ANN (JVM-side
     zip_with/aggregate dot product; the LSH-bucketed scale path reuses the
     minhash bucketing machinery)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    # single-file scan = 1 task: without the repartition every interpreted
+    # dot product of the crossJoin runs on one core (guide §2.5/§6 —
+    # measured 4x on the IVF twin; the shuffle moves ~10 MB of vectors)
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
     )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    # norms are computed once per side instead of inside the crossJoin
+    # projection (identical expression on identical data, so identical
+    # IEEE values; 3 interpreted folds per joined row -> 1; guide §1.2)
+    c = emb.select("vec_id", "v", norm(F.col("v")).alias("_cn"))
     q = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("_qn"),
     )
     scored = (
-        q.crossJoin(emb)
+        q.crossJoin(c)
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(dot(F.col("qv"), F.col("v")) / (norm(F.col("qv")) * norm(F.col("v"))), 4).alias(
-                "cos"
-            ),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
@@ -1215,7 +1228,12 @@ def q_range_join(spark, sf_dir):
         (F.col("ipnum") / 256 % 256).cast("int").cast("string"),
         (F.col("ipnum") % 256).cast("string"),
     )
-    points = ev.select("event_id", ip.alias("ip"))
+    # single-file events scan = 1-2 tasks; fan the Arrow kernel out over
+    # the session parallelism first (deterministic hash repartition on the
+    # key column — guide §2.5; same fix as the minhash/simhash kernels)
+    points = ev.select("event_id", ip.alias("ip")).repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     blocks = GeoBlocks(
         lowers=[i * 1000 for i in range(100)],
         uppers=[(i + 1) * 1000 - 1 for i in range(100)],  # [lower, upper] incl.
@@ -2151,7 +2169,13 @@ def q_ann_ivf(spark, sf_dir):
     centroids + 4-dp rounded ranks make the SQL mirror exact."""
     from ..operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # fan the single-file scan out first: the coarse-assign stage computes
+    # n_cells interpreted dots per corpus row map-side, and inherits the
+    # scan's 1-task layout otherwise (guide §2.5/§6; 2.5 s -> 0.5 s for
+    # the assign stage at sf1.0)
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     queries = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
     return ivf_topk(emb, queries, n_cells=16, n_probe=4, k=5)
 
