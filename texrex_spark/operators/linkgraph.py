@@ -40,12 +40,23 @@ def pagerank(
     Nodes = union of srcs and dsts; initial rank 1.0.  Dangling nodes
     (no out-edges) keep contributing nothing, matching the unnormalized
     original formulation the SQL oracle mirrors."""
+    if checkpoint:
+        # r06: edges / nodes / outdeg are loop-invariant, but without a
+        # materialization every iteration's action re-evaluates their whole
+        # lineage (the edge-derivation scan ran 3x per pagerank call, the
+        # node-dedup twice more on top).  Checkpoint them once (guide §5:
+        # cut lineage of reused intermediates; on a cluster this is the
+        # same per-round parquet/Iceberg table the loop docstring names).
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+        outdeg = outdeg.localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contribs = (
