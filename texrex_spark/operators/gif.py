@@ -44,13 +44,39 @@ MAX_PIXELS = 64_000_000
 
 # ---------------------------------------------------------------- LZW
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
-    """GIF variable-width LZW -> uint8 index array of length n_pixels."""
+    """GIF variable-width LZW -> uint8 index array of length n_pixels.
+
+    r06: decoding runs through the shared vectorized kernel
+    (operators/lzw.py); ``_lzw_decode_scalar`` is the original loop, kept
+    as the differential reference (tests/test_lzw_vec.py)."""
+    from .lzw import lzw_decode_vec
+
     if not (2 <= min_code_size <= 8):
         raise GifError(f"bad LZW minimum code size {min_code_size}")
-    # Fail fast BEFORE the output allocation: k codes of >= (mcs+1) bits
-    # can emit at most k(k+1)/2 pixels (table entries grow by one byte
-    # per code), so a stream too short to ever fill n_pixels is rejected
-    # without touching memory proportional to the claimed dimensions.
+    max_codes = (len(data) * 8) // (min_code_size + 1)
+    if n_pixels > max_codes * (max_codes + 1) // 2:
+        raise GifError("LZW stream too short for claimed image size")
+    out = lzw_decode_vec(
+        data,
+        n_pixels,
+        base_roots=1 << min_code_size,
+        first_width=min_code_size + 1,
+        max_width=12,
+        early_delta=0,
+        lsb_first=True,
+        err_cls=GifError,
+        msg_exhausted="LZW stream exhausted before image was complete",
+        msg_first="LZW: first code after clear is not a root",
+        msg_short="LZW stream ended before image was complete",
+    )
+    return np.frombuffer(out, dtype=np.uint8).copy()
+
+
+def _lzw_decode_scalar(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Original per-code Python loop (differential reference for the
+    vectorized kernel)."""
+    if not (2 <= min_code_size <= 8):
+        raise GifError(f"bad LZW minimum code size {min_code_size}")
     max_codes = (len(data) * 8) // (min_code_size + 1)
     if n_pixels > max_codes * (max_codes + 1) // 2:
         raise GifError("LZW stream too short for claimed image size")

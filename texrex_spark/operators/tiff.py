@@ -101,6 +101,30 @@ _CLEAR, _EOI = 256, 257
 
 
 def lzw_decode(data: bytes, expected: int) -> bytes:
+    """MSB-first TIFF LZW -> exactly ``expected`` bytes.
+
+    r06: decoding runs through the shared vectorized kernel
+    (operators/lzw.py — numpy code gather + prefix-chain walk, no Python
+    per-code loop); ``lzw_decode_scalar`` below is the original loop,
+    kept as the differential reference (tests/test_lzw_vec.py)."""
+    from .lzw import lzw_decode_vec
+
+    return lzw_decode_vec(
+        data,
+        expected,
+        base_roots=256,
+        first_width=9,
+        max_width=12,
+        early_delta=2,
+        lsb_first=False,
+        err_cls=TiffError,
+        msg_exhausted="LZW stream exhausted before strip complete",
+        msg_first="LZW: first code after clear is not a literal",
+        msg_short="LZW strip ended before expected size",
+    )
+
+
+def lzw_decode_scalar(data: bytes, expected: int) -> bytes:
     out = bytearray()
     buf = 0
     cnt = 0
