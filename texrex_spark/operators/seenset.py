@@ -61,25 +61,32 @@ def bucket_of(url: str, partitions: int) -> int:
 
 
 def bucket_udf(partitions: int):
-    """Arrow-batched bucket assignment (same Rabin kernel, vectorized)."""
+    """Arrow-batched bucket assignment (same Rabin kernel, vectorized).
+
+    r06: the per-row Python (encode list comprehension + a dict-of-lists
+    length grouping) is replaced by a C-loop encode and argsort-based
+    length grouping (guide §4.2)."""
 
     @pandas_udf("int")
     def _bucket(urls: pd.Series) -> pd.Series:
         h = _bucket_hasher()
-        keys = [u.encode("utf-8") for u in urls]
-        out = np.zeros(len(keys), dtype=np.int64)
-        by_len: dict[int, list[int]] = {}
-        for i, k in enumerate(keys):
-            by_len.setdefault(len(k), []).append(i)
-        for length, idxs in by_len.items():
+        keys = urls.str.encode("utf-8").to_numpy()
+        n = len(keys)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        lens = np.fromiter(map(len, keys), dtype=np.int64, count=n)
+        order = np.argsort(lens, kind="stable")
+        slens = lens[order]
+        cuts = np.flatnonzero(np.diff(slens)) + 1
+        for grp in np.split(order, cuts):
+            length = int(lens[grp[0]])
             if length == 0:
                 continue
             mat = np.frombuffer(
-                b"".join(keys[i] for i in idxs), dtype=np.uint8
-            ).reshape(len(idxs), length)
-            out[np.asarray(idxs)] = (h.hash_matrix(mat) % np.uint64(partitions)).astype(
-                np.int64
-            )
+                b"".join(keys[i] for i in grp), dtype=np.uint8
+            ).reshape(len(grp), length)
+            out[grp] = (h.hash_matrix(mat) % np.uint64(partitions)).astype(np.int64)
         return pd.Series(out)
 
     return _bucket
@@ -244,8 +251,14 @@ class PartitionedSeenSet:
                 for b in dirty:
                     seen_self._save_bucket(b, cache[b])
 
+        # 4x partition headroom (r06): hashing P bucket values into P
+        # partitions leaves ~1/e of them empty and stacks 2-3 buckets on
+        # one task (guide §2.5 "synthetic keys with too few distinct
+        # values"); 4P bins make a multi-bucket task unlikely while every
+        # bucket still lands wholly in one task (same hash), preserving
+        # the single-writer invariant for the bitmap files.
         bucketed = self.with_bucket(df, url_col).repartition(
-            self.partitions, F.col("bloom_bucket")
+            self.partitions * 4, F.col("bloom_bucket")
         )
         schema = (
             ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in bucketed.schema)
