@@ -108,3 +108,30 @@ def test_lzw_edges():
     v = _outcome(tiffmod.lzw_decode, b"", 5)
     s = _outcome(tiffmod.lzw_decode_scalar, b"", 5)
     assert v == s and v[0] == "err"
+
+
+def test_sessionize_kernel_fused_matches_per_user():
+    """r06: the fused cross-user sessionize kernel equals the per-user
+    kernel on a randomized multi-user event set (incl. gap ties and
+    single-event users)."""
+    import pandas as pd
+
+    from texrex_spark.operators.sessionize import _sessionize_many, sessionize_pdf
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for uid in range(40):
+        n = int(rng.integers(1, 60))
+        ts = np.cumsum(rng.integers(0, 2500, n)) + int(rng.integers(0, 1000))
+        rows.extend((uid, int(t)) for t in ts)
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_s"]).sort_values(
+        ["user_id", "ts_s"], kind="stable", ignore_index=True
+    )
+    fused = _sessionize_many(pdf, 1800)
+    per_user = pd.concat(
+        [sessionize_pdf(g, 1800) for _, g in pdf.groupby("user_id")],
+        ignore_index=True,
+    )
+    a = fused.sort_values(["user_id", "session_id"], ignore_index=True)
+    b = per_user.sort_values(["user_id", "session_id"], ignore_index=True)
+    assert a.astype("int64").equals(b.astype("int64"))

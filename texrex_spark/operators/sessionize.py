@@ -58,6 +58,36 @@ def sessionize_pdf(pdf: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
     )
 
 
+def _sessionize_many(pdf: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
+    """Gap-rule kernel over MANY users at once: rows sorted by
+    (user_id, ts_s); one numpy pass computes every user's sessions
+    (output-identical to per-user ``sessionize_pdf``, differentially
+    pinned by test_sessionize_kernel_fused_matches_per_user)."""
+    uid = pdf["user_id"].to_numpy(dtype=np.int64)
+    ts = pdf["ts_s"].to_numpy(dtype=np.int64)
+    n = len(ts)
+    breaks = np.ones(n, dtype=np.int64)
+    breaks[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) > gap_sec)
+    sid_global = np.cumsum(breaks)
+    starts = np.flatnonzero(breaks)
+    ends = np.concatenate((starts[1:], [n])) - 1
+    # renumber sessions 1..k per user: subtract the user's first session-1
+    user_first = np.ones(len(starts), dtype=bool)
+    user_first[1:] = uid[starts[1:]] != uid[starts[:-1]]
+    offset = np.maximum.accumulate(
+        np.where(user_first, sid_global[starts] - 1, 0)
+    )
+    return pd.DataFrame(
+        {
+            "user_id": uid[starts],
+            "session_id": (sid_global[starts] - offset).astype(np.int32),
+            "n_events": (ends - starts + 1).astype(np.int32),
+            "start_s": ts[starts],
+            "end_s": ts[ends],
+        }
+    )
+
+
 def sessionize_kernel(
     events: DataFrame,
     gap_sec: int = 1800,
@@ -65,19 +95,44 @@ def sessionize_kernel(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Arrow-kernel formulation: one shuffle on user_id, then the numpy
-    gap kernel per group inside ``applyInPandas``.  Output-identical to
+    gap kernel inside the Python worker.  Output-identical to
     ``sessionize`` (driver-oracled); kept as the parity story for the
     applyInPandasWithState streaming twin, NOT the default — the
-    Catalyst plan below is 5.5x faster (no Python boundary)."""
-    src = events.select(
-        F.col(user_col).cast("long").alias("user_id"),
-        F.unix_timestamp(F.col(ts_col)).alias("ts_s"),
+    Catalyst plan below is faster still (no Python boundary).
+
+    r06: the per-group ``applyInPandas`` became ``mapInPandas`` over a
+    user-repartitioned, (user, ts)-sorted stream with a cross-user
+    vectorized kernel — one numpy pass per Arrow batch instead of one
+    Python/Arrow round trip per user (the walker's bucketed-advance
+    pattern; guide §4.2).  Users split across batch boundaries are
+    carried into the next batch, so group integrity is preserved."""
+    spark_parallelism = events.sparkSession.sparkContext.defaultParallelism
+    src = (
+        events.select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.unix_timestamp(F.col(ts_col)).alias("ts_s"),
+        )
+        .repartition(spark_parallelism, "user_id")
+        .sortWithinPartitions("user_id", "ts_s")
     )
 
-    def work(pdf: pd.DataFrame) -> pd.DataFrame:
-        return sessionize_pdf(pdf, gap_sec)
+    def work(batches):
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None and len(pend):
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # hold back the (possibly continuing) last user of the batch
+            uid = pdf["user_id"].to_numpy(dtype=np.int64)
+            cut = int(np.searchsorted(uid, uid[-1], side="left"))
+            pend = pdf.iloc[cut:]
+            if cut:
+                yield _sessionize_many(pdf.iloc[:cut], gap_sec)
+        if pend is not None and len(pend):
+            yield _sessionize_many(pend, gap_sec)
 
-    return src.groupBy("user_id").applyInPandas(work, SESSION_SCHEMA)
+    return src.mapInPandas(work, SESSION_SCHEMA)
 
 
 def sessionize(
